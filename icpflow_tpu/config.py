@@ -1,0 +1,141 @@
+"""Pipeline configuration.
+
+The reference (ICP-Flow) drives everything through ~30 argparse flags duplicated
+across `main.py:45-132` and `demo.py:84-172`, with per-dataset presets living in
+shell scripts (`main.sh:3-43`, `demo.sh:3-15`) and one flag mutated at runtime
+(`args.translation_frame`, `main.py:200`).
+
+Here the configuration is a frozen, hashable dataclass so it can be passed as a
+static argument to ``jax.jit``: every field that changes program *shape*
+(bucket sizes, grid sizes, iteration caps) lives here, while per-frame dynamic
+values (``translation_frame``) are traced scalars threaded explicitly through
+the call — never mutable global state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def _next_fft_size(n: int) -> int:
+    """Smallest 5-smooth (2,3,5 factors) integer >= n; FFT-friendly on XLA."""
+    best = 1 << (n - 1).bit_length()
+    m = n
+    while m <= best:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 1
+    return best
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration of the scene-flow engine.
+
+    Mirrors the semantics of the reference flag set (`main.py:45-132`) but
+    reorganised: shape-affecting knobs are explicit buckets, and the histogram
+    search is parameterised by a *static* residual window (see `ops/hist.py`)
+    rather than the gap-scaled dynamic bin count of `utils_hist.py:63-65`.
+    """
+
+    # --- dataset / scene crop (main.py:67-75) ---
+    dataset: str = "argo"
+    num_frames: int = 2
+    range_x: float = 32.0
+    range_y: float = 32.0
+    range_z: float = 0.0
+    ground_slack: float = 0.3
+    eval_ground: bool = False
+
+    # --- clustering (main.py:77-84) ---
+    num_clusters: int = 200
+    min_cluster_size: int = 30
+    epsilon: float = 0.25
+    use_hdbscan: bool = False
+
+    # --- histogram translation init (main.py:87-92, utils_hist.py) ---
+    speed: float = 1.67
+    translation_max: float = 12.8  # static cap on the residual xy search (m)
+    hist_grid_xy: int = 256       # wrapped grid cells per xy axis
+    hist_grid_z: int = 8          # wrapped grid cells along z
+    hist_topk: int = 5            # NMS peaks kept (utils_hist.py:21 topk_nms k)
+    hist_nms_kernel: int = 11     # NMS max-pool kernel (utils_hist.py:24)
+
+    # --- icp (main.py:94-98) ---
+    thres_dist: float = 0.1
+    max_points: int = 10000
+    icp_max_iters: int = 100
+    icp_rel_rmse: float = 1e-6
+
+    # --- pair gating (main.py:101-110, utils_check.py) ---
+    thres_box: float = 0.1
+    thres_error: float = 0.2
+    thres_iou: float = 0.2
+    thres_rot: float = 0.1
+
+    # --- static shape buckets (TPU: shapes must be compile-time constants) ---
+    max_points_scene: int = 131072   # padded full-cloud size per frame
+    max_pairs: int = 256             # cluster-pair bucket per matcher stage
+    nn_tile: int = 2048              # dst tile for the scan-based NN
+    cluster_cell_cap: int = 64       # max points per voxel cell in DBSCAN
+    cluster_max_iters: int = 100     # label-propagation iteration cap
+
+    # --- ego motion (utils_ego_motion.py / config_kiss_icp.yaml) ---
+    use_kiss_icp: bool = False
+    ego_voxel_size: float = 0.64     # max_range / 100, kiss-icp default rule
+    ego_max_range: float = 64.0
+    ego_min_range: float = 1.0
+    ego_map_capacity: int = 262144
+    ego_initial_threshold: float = 2.0
+    ego_min_motion_th: float = 0.1
+
+    # --- numerics ---
+    dtype_points: str = "float32"
+
+    @property
+    def hist_bin(self) -> float:
+        """Histogram bin width == icp inlier distance (utils_hist.py:63-65)."""
+        return self.thres_dist
+
+    def translation_frame(self, gap: int, ego_translation: float = 0.0) -> float:
+        """Dynamic per-pair search radius, `main.py:200` semantics."""
+        return max(self.speed * gap, ego_translation) * 2.0
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference shell scripts (main.sh:3-43, demo.sh:3-15).
+# ---------------------------------------------------------------------------
+
+WAYMO = PipelineConfig(
+    dataset="waymo", num_frames=5, range_x=32.0, range_y=32.0, range_z=0.04,
+    ground_slack=0.3, use_hdbscan=True, num_clusters=200, min_cluster_size=30,
+    epsilon=0.25, speed=1.67, thres_dist=0.1, max_points=10000,
+    thres_box=0.1, thres_rot=0.1, thres_error=0.3, thres_iou=0.2,
+)
+
+NUSCENES = PipelineConfig(
+    dataset="nuscene", num_frames=11, range_x=32.0, range_y=32.0, range_z=-1.84,
+    ground_slack=0.3, use_hdbscan=True, num_clusters=200, min_cluster_size=20,
+    epsilon=0.25, speed=0.833333, thres_dist=0.1, max_points=5000,
+    thres_box=0.1, thres_rot=0.1, thres_error=0.2, thres_iou=0.2,
+)
+
+ARGO = PipelineConfig(
+    dataset="argo", num_frames=2, range_x=10000.0, range_y=10000.0,
+    range_z=-10000.0, ground_slack=0.0, use_hdbscan=True, num_clusters=200,
+    min_cluster_size=20, epsilon=0.25, speed=1.67, thres_dist=0.1,
+    max_points=10000, thres_box=0.1, thres_rot=0.1, thres_error=0.2,
+    thres_iou=0.2,
+)
+
+DEMO = ARGO.replace(speed=1.0)
+
+PRESETS = {"waymo": WAYMO, "nuscene": NUSCENES, "argo": ARGO, "demo": DEMO}

@@ -1,0 +1,41 @@
+"""Flow assembly: per-point rigid flow from per-cluster transforms.
+
+Ref `utils_flow.py:23-69`: each source point takes its cluster's accepted
+transform (identity when unmatched/unclustered/ground), composed with the ego
+pose; flow = (T_cluster o pose) x - x. Vectorised as a single (L+1)-table
+gather — no per-cluster Python loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def flow_from_transforms(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    transforms: jnp.ndarray,
+    pose: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-point flow. Ref utils_flow.py:57-69 (flow_estimation_torch).
+
+    Args:
+      points: (N, 3) source points (raw frame, pre ego-compensation).
+      labels: (N,) int32; >=0 cluster id, negative -> identity transform.
+      transforms: (L, 4, 4) per-cluster transforms (identity where unmatched).
+      pose: (4, 4) ego pose of the source frame.
+    Returns: (N, 3) flow vectors.
+    """
+    L = transforms.shape[0]
+    eye = jnp.eye(4, dtype=transforms.dtype)[None]
+    table = jnp.concatenate([transforms, eye], axis=0)        # (L+1,4,4)
+    idx = jnp.where((labels >= 0) & (labels < L), labels, L)
+    T_pt = table[idx]                                          # (N,4,4)
+    T_full = jnp.einsum("nij,jk->nik", T_pt, pose)
+    moved = jnp.einsum("nij,nj->ni", T_full[:, :3, :3], points) \
+        + T_full[:, :3, 3]
+    return moved - points

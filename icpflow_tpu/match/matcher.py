@@ -1,0 +1,205 @@
+"""Two-stage cluster matcher — the heart of the method, fully jitted.
+
+Re-designs `utils_match.py:24-157` for XLA: instead of Python loops building
+per-pair lists, both stages run as masked fixed-shape pair buckets inside one
+compiled program per frame pair:
+
+  stage 1 ("static", `utils_match.py:30-41`): joint clustering gives matching
+    static objects the same label, so the candidates are the L self-pairs.
+  stage 2 ("dynamic", `utils_match.py:43-60`): the cartesian product of labels
+    left unmatched by stage 1, gated by the sanity matrix and compacted into a
+    static bucket of ``max_pairs`` (valid candidates sorted to the front; any
+    overflow beyond the bucket is counted and reported).
+
+Each stage: histogram translation init (`ops/hist.py`) -> batched masked ICP
+with rollback (`ops/icp.py`) -> match statistics (`utils_match.py:159-213`)
+-> transform acceptance gate (`utils_check.py:51-66`) -> per-source-label
+argmin assignment with error threshold (`utils_match.py:110-121`,
+`utils_helper.py:108-115`) implemented as two scatter-mins.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..ops import geometry as geo
+from ..ops import hist as _hist
+from ..ops import icp as _icp
+from ..ops import knn as _knn
+from ..ops.segments import SegmentBatch
+from . import gates
+
+_INF = jnp.float32(1e8)   # reference's "no match" fill, utils_match.py:72
+
+
+class MatchResult(NamedTuple):
+    """Per-source-label match table (static shape (L, ...)).
+
+    ``transforms`` holds the accepted cluster transform or identity — exactly
+    what flow assembly consumes (`utils_flow.py:36-48`). ``stats`` packs the
+    reference's pairs[:, 2:10] columns: error x2, inlier x2, ratio x2, iou x2
+    (`utils_match.py:123-128`).
+    """
+    matched: jnp.ndarray      # (L,) bool
+    dst_label: jnp.ndarray    # (L,) int32 (valid where matched)
+    transforms: jnp.ndarray   # (L,4,4)
+    stats: jnp.ndarray        # (L,8)
+    overflow: jnp.ndarray     # () int32: stage-2 candidates beyond the bucket
+
+
+def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
+             cfg: PipelineConfig):
+    """Init + ICP with the smaller cloud as source. Ref utils_match.py:138-157."""
+    n_src = jnp.sum(src_mask, axis=1)
+    n_dst = jnp.sum(dst_mask, axis=1)
+    swap = (n_src > n_dst)[:, None, None]
+    a_xyz = jnp.where(swap, dst_xyz, src_xyz)
+    b_xyz = jnp.where(swap, src_xyz, dst_xyz)
+    sw = swap[:, :, 0]
+    a_mask = jnp.where(sw, dst_mask, src_mask)
+    b_mask = jnp.where(sw, src_mask, dst_mask)
+
+    init = _hist.estimate_init_translation(
+        a_xyz, a_mask, b_xyz, b_mask, translation_frame,
+        bin_w=cfg.hist_bin, lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
+        topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
+        eval_tile=cfg.nn_tile)
+    T = _icp.apply_icp(
+        a_xyz, a_mask, b_xyz, b_mask, init,
+        thres=cfg.thres_dist, max_iters=cfg.icp_max_iters,
+        rel_rmse=cfg.icp_rel_rmse, tile=cfg.nn_tile)
+    return jnp.where(swap, geo.invert_rigid(T), T)
+
+
+def match_eval(src_xyz, src_mask, dst_xyz, dst_mask, T, cfg: PipelineConfig):
+    """Symmetric NN statistics of a transformed pair. Ref utils_match.py:159-213."""
+    moved = geo.transform_points_batch(src_xyz, T)
+    _, dist_f = _knn.masked_nn(moved, dst_xyz, dst_mask, tile=cfg.nn_tile)
+    _, dist_b = _knn.masked_nn(dst_xyz, moved, src_mask, tile=cfg.nn_tile)
+    wf = src_mask.astype(dist_f.dtype)
+    wb = dst_mask.astype(dist_b.dtype)
+    n_src = jnp.maximum(jnp.sum(wf, 1), 1e-9)
+    n_dst = jnp.maximum(jnp.sum(wb, 1), 1e-9)
+
+    inl_f = jnp.sum(((dist_f < cfg.thres_dist) & src_mask).astype(wf.dtype), 1)
+    inl_b = jnp.sum(((dist_b < cfg.thres_dist) & dst_mask).astype(wb.dtype), 1)
+    ratio_f = inl_f / n_src
+    ratio_b = inl_b / n_dst
+    iou_f = inl_f / jnp.maximum(n_src + n_dst - inl_b, 1e-9)
+    iou_b = inl_b / jnp.maximum(n_src + n_dst - inl_f, 1e-9)
+    err_f = jnp.sum(dist_f * wf, 1) / n_src
+    err_b = jnp.sum(dist_b * wb, 1) / n_dst
+
+    mu_moved = geo.masked_mean(moved, src_mask)
+    mu_src = geo.masked_mean(src_xyz, src_mask)
+    translation = mu_moved - mu_src
+    rotation = geo.euler_zyx_deg(T[:, :3, :3])
+    stats = jnp.stack(
+        [err_f, err_b, inl_f, inl_b, ratio_f, ratio_b, iou_f, iou_b], axis=1)
+    return stats, translation, rotation
+
+
+def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
+               pair_src, pair_dst, pair_valid,
+               translation_frame, cfg: PipelineConfig):
+    """hist_icp + eval + gate for one pair bucket. Ref utils_match.py:69-136."""
+    s_xyz = jnp.take(seg_src.xyz, pair_src, axis=0)
+    s_mask = jnp.take(seg_src.mask, pair_src, axis=0) & pair_valid[:, None]
+    d_xyz = jnp.take(seg_dst.xyz, pair_dst, axis=0)
+    d_mask = jnp.take(seg_dst.mask, pair_dst, axis=0) & pair_valid[:, None]
+
+    T = hist_icp(s_xyz, s_mask, d_xyz, d_mask, translation_frame, cfg)
+    stats, translation, rotation = match_eval(
+        s_xyz, s_mask, d_xyz, d_mask, T, cfg)
+    accept = gates.check_transformation(
+        translation, rotation, jnp.minimum(stats[:, 6], stats[:, 7]),
+        translation_frame=translation_frame,
+        thres_iou=cfg.thres_iou, thres_rot=cfg.thres_rot)
+    return T, stats, accept & pair_valid
+
+
+def _assign(pair_src, pair_dst, err, accept, L, thres_error):
+    """Per-src-label argmin assignment with error gate.
+
+    Ref `utils_match.py:110-121`: each source label takes its lowest-error
+    accepted pair if that error beats ``thres_error``. Two scatter-mins: one
+    for the best score per label, one to break ties by pair index.
+    """
+    K = pair_src.shape[0]
+    score = jnp.where(accept, err, _INF)
+    src_safe = jnp.where(accept, pair_src, L)
+    best = jnp.full((L + 1,), _INF).at[src_safe].min(score)
+    is_best = accept & (score <= best[src_safe]) & (score < thres_error)
+    cand = jnp.where(is_best, jnp.arange(K, dtype=jnp.int32), K)
+    chosen = jnp.full((L + 1,), K, jnp.int32).at[src_safe].min(cand)[:L]
+    matched = chosen < K
+    chosen_c = jnp.minimum(chosen, K - 1)
+    return matched, chosen_c
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match_frame_pair(
+    seg_src: SegmentBatch,
+    seg_dst: SegmentBatch,
+    translation_frame,
+    cfg: PipelineConfig,
+) -> MatchResult:
+    """Full two-stage matching of one frame pair. Ref utils_match.py:24-66."""
+    L = seg_src.xyz.shape[0]
+    sanity = gates.sanity_matrix(
+        seg_src.count, seg_src.mean, seg_src.extent,
+        seg_dst.count, seg_dst.mean, seg_dst.extent,
+        min_cluster_size=cfg.min_cluster_size,
+        thres_box=cfg.thres_box,
+        translation_frame=translation_frame)
+
+    # ---- stage 1: static self-pairs -------------------------------------
+    iota = jnp.arange(L, dtype=jnp.int32)
+    valid1 = jnp.diagonal(sanity)
+    T1, stats1, accept1 = _run_stage(
+        seg_src, seg_dst, iota, iota, valid1, translation_frame, cfg)
+    err1 = jnp.minimum(stats1[:, 0], stats1[:, 1])
+    matched1, chosen1 = _assign(iota, iota, err1, accept1, L, cfg.thres_error)
+
+    # ---- stage 2: dynamic cartesian leftovers ---------------------------
+    left_src = (seg_src.count > 0) & ~matched1
+    left_dst = (seg_dst.count > 0) & ~matched1   # stage-1 pairs are (l, l)
+    cand = sanity & left_src[:, None] & left_dst[None, :]
+    flat = cand.reshape(-1)
+    K2 = cfg.max_pairs
+    order = jnp.argsort(~flat, stable=True)[:K2].astype(jnp.int32)
+    valid2 = flat[order]
+    pair_src2 = order // L
+    pair_dst2 = order % L
+    overflow = jnp.sum(flat.astype(jnp.int32)) - jnp.sum(
+        valid2.astype(jnp.int32))
+
+    T2, stats2, accept2 = _run_stage(
+        seg_src, seg_dst, pair_src2, pair_dst2, valid2,
+        translation_frame, cfg)
+    err2 = jnp.minimum(stats2[:, 0], stats2[:, 1])
+    matched2, chosen2 = _assign(
+        pair_src2, pair_dst2, err2, accept2, L, cfg.thres_error)
+
+    # ---- combine: stage-1 winners keep their match ----------------------
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=T1.dtype), (L, 4, 4))
+    t2_per_label = jnp.take(T2, chosen2, axis=0)
+    s2_per_label = jnp.take(stats2, chosen2, axis=0)
+    d2_per_label = jnp.take(pair_dst2, chosen2, axis=0)
+
+    matched = matched1 | matched2
+    transforms = jnp.where(
+        matched1[:, None, None], T1,
+        jnp.where(matched2[:, None, None], t2_per_label, eye))
+    stats = jnp.where(matched1[:, None], stats1,
+                      jnp.where(matched2[:, None], s2_per_label, 0.0))
+    dst_label = jnp.where(matched1, iota,
+                          jnp.where(matched2, d2_per_label, -1))
+    return MatchResult(matched=matched, dst_label=dst_label,
+                       transforms=transforms, stats=stats,
+                       overflow=overflow)

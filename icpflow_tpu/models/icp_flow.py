@@ -1,0 +1,116 @@
+"""SceneFlowEngine: the flagship "model" — the full learning-free pipeline.
+
+Orchestrates clustering -> segment extraction -> two-stage matching -> flow
+assembly as jitted device programs over static buckets. This is the
+``track``/``flow_estimation`` surface of the reference (`utils_track.py:31-35`,
+`utils_flow.py:23-69`) re-packaged as one engine object whose methods are pure
+functions of (config, arrays).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..flow import flow_from_transforms
+from ..match.matcher import MatchResult, match_frame_pair
+from ..ops import cluster as _cluster
+from ..ops.segments import SegmentBatch, extract_segments
+
+
+class TrackOutput(NamedTuple):
+    result: MatchResult
+    seg_src: SegmentBatch
+    seg_dst: SegmentBatch
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _track_pair_impl(pts_src, valid_src, labels_src,
+                     pts_dst, valid_dst, labels_dst,
+                     translation_frame, cfg: PipelineConfig) -> TrackOutput:
+    seg_src = extract_segments(pts_src, labels_src, valid_src,
+                               num_labels=cfg.num_clusters,
+                               max_points=cfg.max_points)
+    seg_dst = extract_segments(pts_dst, labels_dst, valid_dst,
+                               num_labels=cfg.num_clusters,
+                               max_points=cfg.max_points)
+    result = match_frame_pair(seg_src, seg_dst, translation_frame, cfg)
+    return TrackOutput(result, seg_src, seg_dst)
+
+
+class SceneFlowEngine:
+    """End-to-end ICP-Flow-equivalent pipeline on TPU."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+
+    # -- clustering (joint over the ego-aligned frame pair,
+    #    dataset_pca.py:164-201 semantics) --------------------------------
+    def cluster_joint(self, pts_dst: jnp.ndarray, valid_dst: jnp.ndarray,
+                      pts_src_ego: jnp.ndarray, valid_src: jnp.ndarray):
+        """Cluster dst u src jointly so static objects share labels.
+
+        Returns (labels_dst, labels_src) in the shared label space.
+        """
+        cfg = self.cfg
+        pts = jnp.concatenate([pts_dst, pts_src_ego], axis=0)
+        valid = jnp.concatenate([valid_dst, valid_src], axis=0)
+        labels = _cluster.dbscan(
+            pts, valid,
+            eps=cfg.epsilon, min_points=cfg.min_cluster_size,
+            num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
+            max_iters=cfg.cluster_max_iters)
+        n0 = pts_dst.shape[0]
+        return labels[:n0], labels[n0:]
+
+    def track_pair(self, pts_src, valid_src, labels_src,
+                   pts_dst, valid_dst, labels_dst,
+                   translation_frame) -> TrackOutput:
+        """Match all cluster pairs of one (ego-aligned) frame pair."""
+        return _track_pair_impl(
+            pts_src, valid_src, labels_src.astype(jnp.int32),
+            pts_dst, valid_dst, labels_dst.astype(jnp.int32),
+            jnp.asarray(translation_frame, jnp.float32), self.cfg)
+
+    def flow(self, raw_src_points, labels_src, transforms, pose):
+        """Per-point flow from per-cluster transforms (utils_flow.py:57-69)."""
+        return flow_from_transforms(
+            raw_src_points, labels_src.astype(jnp.int32), transforms,
+            jnp.asarray(pose, jnp.float32))
+
+    # -- host-friendly helpers -------------------------------------------
+    def pad_cloud(self, pts: np.ndarray, labels: Optional[np.ndarray] = None):
+        """Pad an (n,3) host cloud to the static scene bucket."""
+        n = len(pts)
+        cap = self.cfg.max_points_scene
+        if n > cap:
+            raise ValueError(f"cloud of {n} points exceeds bucket {cap}")
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = pts[:, :3]
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+        if labels is None:
+            return out, valid
+        lab = np.full((cap,), -1, np.int32)
+        lab[:n] = labels
+        return out, valid, lab
+
+    def pairs_array(self, result: MatchResult) -> np.ndarray:
+        """Host (K,10) pairs table in the reference layout.
+
+        Columns: src_label, dst_label, error x2, inlier x2, ratio x2, iou x2
+        (`utils_match.py:123-128`).
+        """
+        matched = np.asarray(result.matched)
+        idx = np.flatnonzero(matched)
+        stats = np.asarray(result.stats)[idx]
+        dst = np.asarray(result.dst_label)[idx]
+        return np.concatenate(
+            [idx[:, None].astype(np.float32),
+             dst[:, None].astype(np.float32),
+             stats.astype(np.float32)], axis=1)

@@ -1,0 +1,176 @@
+"""Density clustering on TPU: voxel-hash DBSCAN with parallel label propagation.
+
+Replaces the reference's host-side Open3D ``cluster_dbscan`` / hdbscan calls
+(`utils_cluster.py:10-63`) with a static-shape JAX routine:
+
+  1. bin points into eps-sized voxel cells (traced integer cell ids);
+  2. sort by cell id; neighbor candidates of a point are the points of its 27
+     adjacent cells, located with ``searchsorted`` and capped per cell;
+  3. core test: >= ``min_points`` neighbors within eps (count over *all*
+     candidates, not the compacted edge list);
+  4. connected components of core points via iterative min-label propagation
+     with pointer jumping over a fixed-degree edge list (``lax.while_loop``
+     until fixpoint, bounded);
+  5. border points adopt the smallest adjacent core label; remaining valid
+     points are noise (-1);
+  6. clusters are ranked by size and the top ``num_clusters`` kept, relabelled
+     densely 0..C-1 in descending-size order (`utils_cluster.py:26-27,45-46`
+     keep-top-K semantics).
+
+Exact parity with Open3D's label *identities* is neither possible nor needed —
+the framework gates clustering on end-to-end flow EPE (SURVEY §7 step 7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_OFFSETS = [(dx, dy, dz)
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+# center cell first so same-cell neighbors win edge-list slots
+_OFFSETS.sort(key=lambda o: (o != (0, 0, 0), o))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "min_points", "num_clusters", "cell_cap",
+                     "edges_per_cell", "max_iters", "tile"),
+)
+def dbscan(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    eps: float = 0.25,
+    min_points: int = 30,
+    num_clusters: int = 200,
+    cell_cap: int = 64,
+    edges_per_cell: int = 2,
+    max_iters: int = 200,
+    tile: int = 2048,
+) -> jnp.ndarray:
+    """Labels (N,) int32: 0..C-1 size-ranked clusters, -1 noise/dropped."""
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    xyz = xyz.astype(f32)
+    valid = valid.astype(bool)
+
+    # --- 1. voxel cells (traced extents; ids fit easily in int32) --------
+    cell = jnp.floor(xyz / eps).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(valid[:, None], cell, 2 ** 20), axis=0)
+    cmax = jnp.max(jnp.where(valid[:, None], cell, -(2 ** 20)), axis=0)
+    span = jnp.maximum(cmax - cmin + 3, 1)
+    cc = cell - cmin + 1
+    def cell_id(c3):
+        return (c3[..., 0] * span[1] + c3[..., 1]) * span[2] + c3[..., 2]
+    ids = jnp.where(valid, cell_id(cc), jnp.int32(2 ** 30))
+
+    # --- 2. sort by cell -------------------------------------------------
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    xyz_s = xyz[order]
+    valid_s = valid[order]
+
+    # --- 3. neighbor candidates per point tile ---------------------------
+    pad_tile = (-n) % tile
+    nt = (n + pad_tile) // tile
+    eps_sq = eps * eps
+
+    def tile_pass(t):
+        base = t * tile
+        rows = base + jnp.arange(tile)
+        rows_c = jnp.minimum(rows, n - 1)
+        p = xyz_s[rows_c]                                    # (T,3)
+        pc = cc[order[rows_c]]
+        row_ok = (rows < n) & valid_s[rows_c]
+
+        cand_list = []
+        for off in _OFFSETS:
+            qid = cell_id(pc + jnp.array(off, jnp.int32))
+            start = jnp.searchsorted(ids_s, qid)             # (T,)
+            k = jnp.arange(cell_cap)
+            pos = start[:, None] + k[None, :]                # (T,K)
+            pos_c = jnp.minimum(pos, n - 1)
+            same = (ids_s[pos_c] == qid[:, None]) & (pos < n)
+            cand_list.append((pos_c, same))
+        pos = jnp.concatenate([c[0] for c in cand_list], axis=1)   # (T,27K)
+        ok = jnp.concatenate([c[1] for c in cand_list], axis=1)
+
+        q = xyz_s[pos]                                       # (T,27K,3)
+        d_sq = jnp.sum((q - p[:, None, :]) ** 2, axis=-1)
+        within = ok & (d_sq <= eps_sq) & valid_s[pos] & row_ok[:, None]
+        count = jnp.sum(within.astype(jnp.int32), axis=1)
+
+        # compact to fixed-degree edges. Crucial detail: keep the first
+        # ``edges_per_cell`` within-eps candidates of EVERY neighboring cell
+        # (not the globally-first ones) — same-cell candidates would otherwise
+        # starve the cross-cell links that connect clusters spanning cells.
+        n_off = len(_OFFSETS)
+        w3 = within.reshape(tile, n_off, cell_cap)
+        sel = jnp.argsort(~w3, axis=2, stable=True)[:, :, :edges_per_cell]
+        p3 = pos.reshape(tile, n_off, cell_cap)
+        e_pos = jnp.take_along_axis(p3, sel, axis=2)
+        e_ok = jnp.take_along_axis(w3, sel, axis=2)
+        e_pos = jnp.where(e_ok, e_pos, n)                    # n == "no edge"
+        return count, e_pos.reshape(tile, n_off * edges_per_cell)
+
+    counts, edges = jax.lax.map(tile_pass, jnp.arange(nt))
+    counts = counts.reshape(-1)[:n]
+    edges = edges.reshape(-1, len(_OFFSETS) * edges_per_cell)[:n]                 # sorted layout
+
+    core = (counts >= min_points) & valid_s
+
+    # --- 4. min-label propagation over core points -----------------------
+    idx = jnp.arange(n, dtype=jnp.int32)
+    core_pad = jnp.concatenate([core, jnp.zeros((1,), bool)])
+    init_label = jnp.where(core, idx, n)
+
+    # core->core edge targets (n == "no edge"); propagation must be symmetric
+    # even though the stored adjacency is directed ("first K per cell"), so
+    # each iteration both PULLS neighbor labels (gather) and PUSHES the own
+    # label to neighbors (scatter-min along the reverse edges).
+    core_edges = jnp.where(core_pad[edges] & core[:, None], edges, n)
+
+    def prop_body(state):
+        lab, _, it = state
+        lab_pad = jnp.concatenate([lab, jnp.full((1,), n, jnp.int32)])
+        pulled = jnp.min(lab_pad[core_edges], axis=1)        # (N,)
+        pushed = jnp.full((n + 1,), n, jnp.int32).at[
+            core_edges.reshape(-1)].min(
+            jnp.broadcast_to(lab[:, None], core_edges.shape).reshape(-1))[:n]
+        new = jnp.minimum(lab, jnp.minimum(pulled, pushed))
+        new = jnp.where(core, new, n)
+        # pointer jumping (path halving), twice
+        new_pad = jnp.concatenate([new, jnp.full((1,), n, jnp.int32)])
+        new = jnp.where(core, jnp.minimum(new, new_pad[new_pad[new]]), n)
+        new_pad = jnp.concatenate([new, jnp.full((1,), n, jnp.int32)])
+        new = jnp.where(core, jnp.minimum(new, new_pad[new_pad[new]]), n)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
+
+    label, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters), prop_body,
+        (init_label, jnp.bool_(True), jnp.int32(0)))
+
+    # --- 5. border points adopt an adjacent core label -------------------
+    lab_pad = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
+    nbr_core_lab = jnp.where(core_pad[edges], lab_pad[edges], n)
+    border_lab = jnp.min(nbr_core_lab, axis=1)
+    label = jnp.where(core, label,
+                      jnp.where(valid_s & (border_lab < n), border_lab, n))
+
+    # --- 6. size-ranked top-K relabelling --------------------------------
+    sizes = jnp.bincount(jnp.minimum(label, n), length=n + 1)[:n]
+    c = min(num_clusters, n)
+    _, top_roots = jax.lax.top_k(sizes, c)
+    keep = sizes[top_roots] > 0
+    rank = jnp.full((n + 1,), -1, jnp.int32)
+    rank = rank.at[jnp.where(keep, top_roots, n)].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop")
+    final_s = jnp.where(label < n, rank[jnp.minimum(label, n)], -1)
+
+    # --- back to original point order ------------------------------------
+    out = jnp.full((n,), -1, jnp.int32).at[order].set(final_s)
+    return jnp.where(valid, out, -1)

@@ -1,0 +1,167 @@
+"""Histogram translation initialisation — TPU-native redesign.
+
+The reference votes every pairwise displacement ``d = dst_j - src_i`` of every
+cluster pair into a 3D grid with a CUDA ``atomicAdd`` kernel over B*N*M threads
+(`hist_cuda/cpp/hist_cuda_core.cuh:24-64`), then NMS-picks top-5 peaks plus the
+zero translation and keeps the candidate with the lowest symmetric masked NN
+error (`utils_hist.py:46-124`). Cost is O(B*N^2) and the grid grows O(gap^2)
+with the temporal gap (`utils_hist.py:63`, chunked at `utils_hist.py:33-44`).
+
+TPU redesign — *wrapped voxel cross-correlation*:
+
+  The displacement histogram of two point sets equals the cross-correlation of
+  their voxel-count grids:  hist[s] = sum_v cnt_dst[v] * cnt_src[v - s]
+  (exact up to one-bin quantisation: floor(x)-floor(y) vs floor(x-y)).
+  We therefore (1) voxelise each cloud at bin width `thres_dist` *modulo* a
+  fixed wrap period L, (2) FFT-correlate the two grids, and (3) read votes only
+  inside the admissible displacement window. Wrapping keeps the grid size
+  static regardless of cluster extent; cluster self-structure that wraps
+  around aliases into uniform background noise while true-correspondence votes
+  still pile up at the true shift — and every surviving candidate is re-scored
+  by actual NN error anyway, so aliasing cannot select a bad translation.
+
+  To keep the search window *constant in the temporal gap* (the reference's
+  O(gap^2) cliff), each pair is pre-shifted by its bin-rounded centroid
+  difference: votes then cover the residual displacement, which is bounded by
+  object geometry, not by ego/object speed. Candidates are reported as
+  ``centroid_shift + voted_residual`` plus the raw zero translation.
+
+Cost: O(B*N) scatter + O(B * G log G) FFT instead of O(B*N^2) — about three
+orders of magnitude fewer operations at reference scale (B=50, N=10^4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import knn as _knn
+
+
+def _wrap_counts(xyz, mask, origin, bin_w, lx, ly, lz):
+    """Scatter masked points into a wrapped (Lz, Lx, Ly) count grid."""
+    b, n, _ = xyz.shape
+    rel = (xyz - origin[:, None, :]) / bin_w
+    ix = jnp.floor(rel[..., 0]).astype(jnp.int32) % lx
+    iy = jnp.floor(rel[..., 1]).astype(jnp.int32) % ly
+    iz = jnp.floor(rel[..., 2]).astype(jnp.int32) % lz
+    bi = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    flat = ((bi * lz + iz) * lx + ix) * ly + iy
+    grid = jnp.zeros((b * lz * lx * ly), jnp.float32)
+    grid = grid.at[flat.reshape(-1)].add(
+        mask.astype(jnp.float32).reshape(-1), mode="drop")
+    return grid.reshape(b, lz, lx, ly)
+
+
+def _signed_shifts(l: int) -> jnp.ndarray:
+    """Shift value of each index of a centre-rolled circular-correlation axis."""
+    return jnp.arange(l, dtype=jnp.float32) - (l // 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bin_w", "lxy", "lz", "topk", "nms_kernel", "eval_tile"),
+)
+def estimate_init_translation(
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    dst: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+    translation_frame: jnp.ndarray,
+    *,
+    bin_w: float = 0.1,
+    lxy: int = 256,
+    lz: int = 8,
+    topk: int = 5,
+    nms_kernel: int = 11,
+    eval_tile: int = 1024,
+) -> jnp.ndarray:
+    """Best translation init per cluster pair. Returns (B, 4, 4).
+
+    Mirrors `utils_hist.py:46-124`: top-`topk` NMS peaks of the displacement
+    histogram plus the zero candidate, scored by symmetric masked mean NN
+    error, winner returned as a translation-only 4x4.
+    """
+    b, n, _ = src.shape
+    f32 = jnp.float32
+    src = src.astype(f32)
+    dst = dst.astype(f32)
+    wsrc = src_mask.astype(f32)
+    wdst = dst_mask.astype(f32)
+
+    c_src = jnp.sum(src * wsrc[:, :, None], 1) / jnp.maximum(
+        jnp.sum(wsrc, 1), 1e-9)[:, None]
+    c_dst = jnp.sum(dst * wdst[:, :, None], 1) / jnp.maximum(
+        jnp.sum(wdst, 1), 1e-9)[:, None]
+    # bin-rounded centroid pre-shift (xy only; reference searches z in a fixed
+    # +-thres_dist band, utils_hist.py:65)
+    dc = c_dst - c_src
+    dc_bins = jnp.round(dc[:, :2] / bin_w)
+    dc_shift = jnp.concatenate(
+        [dc_bins * bin_w, jnp.zeros((b, 1), f32)], axis=1)       # (B,3)
+
+    src_shifted = src + dc_shift[:, None, :]
+    origin = c_dst  # common wrap origin keeps voxel coords small
+    grid_src = _wrap_counts(src_shifted, wsrc, origin, bin_w, lxy, lxy, lz)
+    grid_dst = _wrap_counts(dst, wdst, origin, bin_w, lxy, lxy, lz)
+
+    # circular cross-correlation: corr[s] = sum_v dst[v] * src[v - s]
+    fa = jnp.fft.rfftn(grid_dst, axes=(1, 2, 3))
+    fb = jnp.fft.rfftn(grid_src, axes=(1, 2, 3))
+    corr = jnp.fft.irfftn(fa * jnp.conj(fb), s=(lz, lxy, lxy), axes=(1, 2, 3))
+    corr = jnp.roll(corr, (lz // 2, lxy // 2, lxy // 2), axis=(1, 2, 3))
+
+    # admissible window (traced): residual keeps total xy shift within
+    # translation_frame (utils_hist.py:63-65) and |dz| <= bin (z band).
+    sx = _signed_shifts(lxy) * bin_w
+    sz = _signed_shifts(lz) * bin_w
+    total_x = dc_shift[:, 0][:, None] + sx[None, :]               # (B,Lxy)
+    total_y = dc_shift[:, 1][:, None] + sx[None, :]
+    tf = jnp.asarray(translation_frame, f32)
+    okx = jnp.abs(total_x) <= tf
+    oky = jnp.abs(total_y) <= tf
+    okz = jnp.abs(sz) <= bin_w + 1e-6
+    window = (okz[None, :, None, None]
+              & okx[:, None, :, None]
+              & oky[:, None, None, :])
+
+    kz = min(nms_kernel, lz)
+    pooled = jax.lax.reduce_window(
+        corr, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kz, nms_kernel, nms_kernel),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME")
+    votes = jnp.where((corr >= pooled) & window & (corr > 0), corr, -1.0)
+    _, flat_idx = jax.lax.top_k(votes.reshape(b, -1), topk)
+    top_votes = jnp.take_along_axis(votes.reshape(b, -1), flat_idx, axis=1)
+
+    iz = flat_idx // (lxy * lxy)
+    ix = (flat_idx // lxy) % lxy
+    iy = flat_idx % lxy
+    t_res = jnp.stack(
+        [(ix - lxy // 2).astype(f32) * bin_w,
+         (iy - lxy // 2).astype(f32) * bin_w,
+         (iz - lz // 2).astype(f32) * bin_w], axis=-1)            # (B,topk,3)
+    t_cand = t_res + dc_shift[:, None, :]
+    t_cand = jnp.where(top_votes[:, :, None] > 0, t_cand, 0.0)
+    # zero-translation candidate (utils_hist.py:83)
+    t_all = jnp.concatenate([t_cand, jnp.zeros((b, 1, 3), f32)], axis=1)
+    k = t_all.shape[1]
+
+    # score candidates: symmetric masked mean NN error (utils_hist.py:86-105)
+    def score(tk):
+        moved = src + tk[:, None, :]
+        e_fwd = _knn.masked_nn_error(moved, src_mask, dst, dst_mask,
+                                     tile=eval_tile)
+        e_bwd = _knn.masked_nn_error(dst, dst_mask, moved, src_mask,
+                                     tile=eval_tile)
+        return jnp.minimum(e_fwd, e_bwd)
+
+    errors = jax.lax.map(score, jnp.swapaxes(t_all, 0, 1))        # (K,B)
+    best = jnp.argmin(errors, axis=0)                             # (B,)
+    t_best = jnp.take_along_axis(t_all, best[:, None, None], axis=1)[:, 0]
+
+    T = jnp.broadcast_to(jnp.eye(4, dtype=f32), (b, 4, 4))
+    return T.at[:, :3, 3].set(t_best)

@@ -1,0 +1,100 @@
+"""Masked batched nearest-neighbor search.
+
+Replaces pytorch3d ``knn_points`` (used at `utils_helper.py:20-30` and inside
+the reference ICP loop `utils_icp_pytorch3d.py:153-156`) with an MXU-friendly
+formulation: squared distances expand to ``|x|^2 - 2<x,y> + |y|^2`` where the
+cross term is a large batched matmul. The dst axis is tiled with ``lax.scan``
+so the full (B, N, M) distance matrix is never materialised — peak memory is
+(B, N, tile).
+
+Precision note: coordinates are metre-scale (|x| up to ~100 m) and the ICP
+inlier gate is 0.1 m, so the cross term runs at HIGHEST matmul precision
+(3-pass bf16 == ~fp32 on the MXU). Callers should pre-center clouds when
+possible to keep the dynamic range small.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+
+
+def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value):
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def masked_nn(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+    tile: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each src point, index and euclidean distance of nearest valid dst.
+
+    Args:
+      src: (B, N, 3) query points (invalid rows allowed; mask downstream).
+      dst: (B, M, 3) reference points.
+      dst_mask: (B, M) validity of reference points.
+      tile: dst tile size for the scan.
+    Returns:
+      idx: (B, N) int32 argmin over valid dst (0 if none valid).
+      dist: (B, N) euclidean distance (sqrt of min squared distance).
+    """
+    b, n, _ = src.shape
+    m = dst.shape[1]
+    dst_p = _pad_to_multiple(dst, tile, 1, 0.0)
+    mask_p = _pad_to_multiple(dst_mask.astype(bool), tile, 1, False)
+    mp = dst_p.shape[1]
+    n_tiles = mp // tile
+
+    dst_t = dst_p.reshape(b, n_tiles, tile, 3).transpose(1, 0, 2, 3)
+    mask_t = mask_p.reshape(b, n_tiles, tile).transpose(1, 0, 2)
+
+    src_sq = jnp.sum(src * src, axis=-1)                       # (B, N)
+
+    def step(carry, inp):
+        best_d, best_i, t0 = carry
+        d_tile, m_tile = inp                                   # (B,tile,3),(B,tile)
+        cross = jnp.einsum("bnd,bmd->bnm", src, d_tile,
+                           precision=jax.lax.Precision.HIGHEST)
+        d_sq = (src_sq[:, :, None]
+                - 2.0 * cross
+                + jnp.sum(d_tile * d_tile, axis=-1)[:, None, :])
+        d_sq = jnp.where(m_tile[:, None, :], d_sq, _BIG)
+        tile_min = jnp.min(d_sq, axis=2)
+        tile_arg = jnp.argmin(d_sq, axis=2).astype(jnp.int32) + t0
+        take = tile_min < best_d
+        best_d = jnp.where(take, tile_min, best_d)
+        best_i = jnp.where(take, tile_arg, best_i)
+        return (best_d, best_i, t0 + tile), None
+
+    init = (jnp.full((b, n), _BIG, src.dtype),
+            jnp.zeros((b, n), jnp.int32),
+            jnp.int32(0))
+    (best_d, best_i, _), _ = jax.lax.scan(step, init, (dst_t, mask_t))
+    best_i = jnp.minimum(best_i, m - 1)
+    return best_i, jnp.sqrt(jnp.maximum(best_d, 0.0))
+
+
+def masked_nn_error(
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    dst: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+    tile: int = 2048,
+) -> jnp.ndarray:
+    """Mean NN distance of valid src points into valid dst. Returns (B,)."""
+    _, d = masked_nn(src, dst, dst_mask, tile=tile)
+    w = src_mask.astype(d.dtype)
+    return jnp.sum(d * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-9)

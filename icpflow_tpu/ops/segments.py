@@ -1,0 +1,90 @@
+"""Fixed-shape segment batches: the core datatype of the framework.
+
+The reference's one deep structural insight is that every cluster is padded to
+``max_points`` with a validity channel and batched (`utils_helper.py:185-196`,
+`utils_match.py:81-91`) — exactly the static-shape discipline XLA wants. Here
+that becomes a first-class op: given a padded point cloud and per-point integer
+labels, produce a ``(L, P)`` masked segment batch entirely on device (sort +
+gather; no per-label Python loop like `utils_match.py:81-89`).
+
+Label convention (matches `utils_cluster.py:58-59`, `utils_flow.py:28-31`):
+  >= 0   cluster id in [0, num_labels)
+  -1     valid point, not in a kept cluster
+  <= -2  ground (reference uses -1e8)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+GROUND_LABEL = -(10 ** 8)
+
+
+class SegmentBatch(NamedTuple):
+    """Masked fixed-shape segments of one frame.
+
+    xyz:    (L, P, 3) segment points (zeros where invalid).
+    mask:   (L, P)    point validity.
+    count:  (L,)      true cluster sizes (pre-subsampling).
+    mean:   (L, 3)    masked centroid per segment.
+    extent: (L, 3)    sorted axis-aligned bbox side lengths.
+    """
+    xyz: jnp.ndarray
+    mask: jnp.ndarray
+    count: jnp.ndarray
+    mean: jnp.ndarray
+    extent: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("num_labels", "max_points"))
+def extract_segments(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    num_labels: int,
+    max_points: int,
+) -> SegmentBatch:
+    """Gather each label's points into a (num_labels, max_points) batch.
+
+    Clusters larger than ``max_points`` are deterministically subsampled with
+    an evenly-spaced stride (the reference random-permutes,
+    `utils_helper.py:185-201`; even striding is order-free and reproducible —
+    parity is gated on flow EPE, not on sample identity).
+
+    Args:
+      points: (N, 3) padded cloud.
+      labels: (N,) int32 per-point labels (see module docstring).
+      valid:  (N,) point validity of the padding.
+    """
+    n = points.shape[0]
+    L, P = num_labels, max_points
+    lab = jnp.where(valid, labels, GROUND_LABEL)
+    key = jnp.where(lab >= 0, lab, L)                 # out-of-cluster -> L
+    counts = jnp.bincount(key, length=L + 1)[:L]
+    order = jnp.argsort(key, stable=True)             # cluster 0..L-1 first
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+
+    p_iota = jnp.arange(P, dtype=jnp.int32)
+    cnt = counts[:, None]                              # (L,1)
+    # evenly-spaced subsample when count > P, identity otherwise
+    sel = jnp.where(cnt > P, (p_iota[None, :] * cnt) // P, p_iota[None, :])
+    mask = p_iota[None, :] < jnp.minimum(cnt, P)
+    gidx = jnp.clip(starts[:, None] + sel, 0, n - 1)
+    pidx = order[gidx]                                 # (L,P) point indices
+    xyz = points[pidx] * mask[:, :, None]
+
+    wm = mask.astype(points.dtype)
+    mean = jnp.sum(xyz * wm[:, :, None], 1) / jnp.maximum(
+        jnp.sum(wm, 1), 1e-9)[:, None]
+    big = jnp.asarray(1e9, points.dtype)
+    hi = jnp.max(jnp.where(mask[:, :, None], xyz, -big), axis=1)
+    lo = jnp.min(jnp.where(mask[:, :, None], xyz, big), axis=1)
+    extent = jnp.sort(jnp.maximum(hi - lo, 0.0), axis=1)
+    return SegmentBatch(xyz=xyz, mask=mask, count=counts,
+                        mean=mean, extent=extent)

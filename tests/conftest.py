@@ -1,0 +1,20 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
+# without TPU hardware (SURVEY.md §4 implication; the driver validates the
+# real multi-chip path separately via __graft_entry__.dryrun_multichip).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A pytest plugin may have imported jax before this conftest ran; force the
+# platform choice as long as no backend has been initialised yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()} ({len(jax.devices())} devices)"

@@ -1,0 +1,86 @@
+import numpy as np
+import jax.numpy as jnp
+
+from icpflow_tpu.ops.icp import apply_icp, icp_core
+from icpflow_tpu.ops import geometry as geo
+
+
+def rot_z(deg):
+    t = np.radians(deg)
+    return np.array([[np.cos(t), -np.sin(t), 0],
+                     [np.sin(t), np.cos(t), 0],
+                     [0, 0, 1]], np.float32)
+
+
+def make_case(rng, n, R, t, p):
+    src = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    dst = src @ R.T + t
+    out_s = np.zeros((p, 3), np.float32)
+    out_d = np.zeros((p, 3), np.float32)
+    out_s[:n] = src
+    out_d[:n] = dst
+    m = np.zeros((p,), bool)
+    m[:n] = True
+    return out_s, out_d, m
+
+
+def test_icp_core_recovers_small_transform():
+    rng = np.random.default_rng(0)
+    R = rot_z(4.0)
+    t = np.array([0.05, -0.04, 0.01], np.float32)
+    s, d, m = make_case(rng, 400, R, t, 512)
+    T = icp_core(jnp.asarray(s)[None], jnp.asarray(m)[None],
+                 jnp.asarray(d)[None], jnp.asarray(m)[None],
+                 thres=0.3, tile=128)
+    T = np.asarray(T)[0]
+    np.testing.assert_allclose(T[:3, :3], R, atol=2e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=2e-2)
+
+
+def test_apply_icp_with_init_handles_large_translation():
+    rng = np.random.default_rng(1)
+    R = rot_z(3.0)
+    t = np.array([3.0, -2.0, 0.0], np.float32)
+    s, d, m = make_case(rng, 400, R, t, 512)
+    init = np.eye(4, dtype=np.float32)[None].copy()
+    init[0, :3, 3] = [3.0, -2.0, 0.0]  # histogram-style translation init
+    T = apply_icp(jnp.asarray(s)[None], jnp.asarray(m)[None],
+                  jnp.asarray(d)[None], jnp.asarray(m)[None],
+                  jnp.asarray(init), thres=0.3, tile=128)
+    T = np.asarray(T)[0]
+    moved = s[m] @ T[:3, :3].T + T[:3, 3]
+    err = np.linalg.norm(moved - d[m], axis=1).mean()
+    assert err < 0.02
+
+
+def test_apply_icp_rollback_when_icp_cannot_improve():
+    # src/dst have no overlap within threshold: ICP finds no inliers and must
+    # return the init pose unchanged (utils_icp.py:26-35 rollback).
+    rng = np.random.default_rng(2)
+    s = rng.uniform(-1, 1, size=(1, 64, 3)).astype(np.float32)
+    d = s + 100.0
+    m = jnp.ones((1, 64), bool)
+    init = jnp.eye(4)[None]
+    T = apply_icp(jnp.asarray(s), m, jnp.asarray(d), m, init,
+                  thres=0.1, tile=64)
+    np.testing.assert_allclose(np.asarray(T)[0], np.eye(4), atol=1e-5)
+
+
+def test_batched_mixed_difficulty():
+    rng = np.random.default_rng(3)
+    cases = [
+        (rot_z(2.0), np.array([0.1, 0.0, 0.0], np.float32)),
+        (np.eye(3, dtype=np.float32), np.array([0.0, 0.2, 0.0], np.float32)),
+    ]
+    ss, ds, ms = [], [], []
+    for R, t in cases:
+        s, d, m = make_case(rng, 300, R, t, 384)
+        ss.append(s); ds.append(d); ms.append(m)
+    T = icp_core(jnp.asarray(np.stack(ss)), jnp.asarray(np.stack(ms)),
+                 jnp.asarray(np.stack(ds)), jnp.asarray(np.stack(ms)),
+                 thres=0.5, tile=128)
+    for k, (R, t) in enumerate(cases):
+        Tk = np.asarray(T)[k]
+        moved = ss[k][ms[k]] @ Tk[:3, :3].T + Tk[:3, 3]
+        err = np.linalg.norm(moved - ds[k][ms[k]], axis=1).mean()
+        assert err < 0.02, (k, err)
