@@ -34,7 +34,7 @@ from ..ops import knn as _knn
 from ..ops.segments import SegmentBatch
 from . import gates
 
-_INF = jnp.float32(1e8)   # reference's "no match" fill, utils_match.py:72
+_INF = 1e8   # reference's "no match" fill (utils_match.py:72); plain float so import stays backend-free
 
 
 class MatchResult(NamedTuple):
@@ -123,33 +123,53 @@ def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
     return T, stats, accept & pair_valid
 
 
-def _assign(pair_src, pair_dst, err, accept, L, thres_error):
+def _assign(pair_src, pair_dst, err, accept, L, thres_error,
+            cp_axis=None, idx_offset=0, total_pairs=None):
     """Per-src-label argmin assignment with error gate.
 
     Ref `utils_match.py:110-121`: each source label takes its lowest-error
     accepted pair if that error beats ``thres_error``. Two scatter-mins: one
-    for the best score per label, one to break ties by pair index.
+    for the best score per label, one to break ties by pair index. When the
+    pair bucket is sharded over ``cp_axis``, both tables are pmin-reduced
+    across the axis (the ICI collective of the cluster-pair sharding);
+    ``idx_offset`` globalises the local pair indices.
     """
+    K_total = total_pairs if total_pairs is not None else pair_src.shape[0]
     K = pair_src.shape[0]
     score = jnp.where(accept, err, _INF)
     src_safe = jnp.where(accept, pair_src, L)
     best = jnp.full((L + 1,), _INF).at[src_safe].min(score)
+    if cp_axis is not None:
+        best = jax.lax.pmin(best, cp_axis)
     is_best = accept & (score <= best[src_safe]) & (score < thres_error)
-    cand = jnp.where(is_best, jnp.arange(K, dtype=jnp.int32), K)
-    chosen = jnp.full((L + 1,), K, jnp.int32).at[src_safe].min(cand)[:L]
-    matched = chosen < K
-    chosen_c = jnp.minimum(chosen, K - 1)
+    gidx = jnp.arange(K, dtype=jnp.int32) + idx_offset
+    cand = jnp.where(is_best, gidx, K_total)
+    chosen = jnp.full((L + 1,), K_total, jnp.int32).at[src_safe].min(cand)
+    if cp_axis is not None:
+        chosen = jax.lax.pmin(chosen, cp_axis)
+    chosen = chosen[:L]
+    matched = chosen < K_total
+    chosen_c = jnp.minimum(chosen, K_total - 1)
     return matched, chosen_c
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "cp_axis", "cp_size"))
 def match_frame_pair(
     seg_src: SegmentBatch,
     seg_dst: SegmentBatch,
     translation_frame,
     cfg: PipelineConfig,
+    cp_axis: str | None = None,
+    cp_size: int = 1,
 ) -> MatchResult:
-    """Full two-stage matching of one frame pair. Ref utils_match.py:24-66."""
+    """Full two-stage matching of one frame pair. Ref utils_match.py:24-66.
+
+    With ``cp_axis`` set (inside a shard_map over a mesh axis of size
+    ``cp_size``), the pair buckets of both stages are sharded across the axis:
+    each device solves hist+ICP for its slice of cluster pairs, and only the
+    tiny assignment tables (pmin) and per-pair transforms (all_gather) cross
+    the interconnect.
+    """
     L = seg_src.xyz.shape[0]
     sanity = gates.sanity_matrix(
         seg_src.count, seg_src.mean, seg_src.extent,
@@ -158,13 +178,30 @@ def match_frame_pair(
         thres_box=cfg.thres_box,
         translation_frame=translation_frame)
 
+    def shard_slice(arrs, total):
+        if cp_axis is None:
+            return arrs, 0
+        per = total // cp_size
+        assert per * cp_size == total, (total, cp_size)
+        off = jax.lax.axis_index(cp_axis) * per
+        return [jax.lax.dynamic_slice_in_dim(a, off, per, 0) for a in arrs], off
+
+    def gather(x):
+        if cp_axis is None:
+            return x
+        return jax.lax.all_gather(x, cp_axis, tiled=True)
+
     # ---- stage 1: static self-pairs -------------------------------------
     iota = jnp.arange(L, dtype=jnp.int32)
     valid1 = jnp.diagonal(sanity)
-    T1, stats1, accept1 = _run_stage(
-        seg_src, seg_dst, iota, iota, valid1, translation_frame, cfg)
-    err1 = jnp.minimum(stats1[:, 0], stats1[:, 1])
-    matched1, chosen1 = _assign(iota, iota, err1, accept1, L, cfg.thres_error)
+    (p1s, v1s), off1 = shard_slice([iota, valid1], L)
+    T1l, stats1l, accept1l = _run_stage(
+        seg_src, seg_dst, p1s, p1s, v1s, translation_frame, cfg)
+    err1l = jnp.minimum(stats1l[:, 0], stats1l[:, 1])
+    matched1, _ = _assign(p1s, p1s, err1l, accept1l, L, cfg.thres_error,
+                          cp_axis=cp_axis, idx_offset=off1, total_pairs=L)
+    T1 = gather(T1l)
+    stats1 = gather(stats1l)
 
     # ---- stage 2: dynamic cartesian leftovers ---------------------------
     left_src = (seg_src.count > 0) & ~matched1
@@ -179,12 +216,15 @@ def match_frame_pair(
     overflow = jnp.sum(flat.astype(jnp.int32)) - jnp.sum(
         valid2.astype(jnp.int32))
 
-    T2, stats2, accept2 = _run_stage(
-        seg_src, seg_dst, pair_src2, pair_dst2, valid2,
-        translation_frame, cfg)
-    err2 = jnp.minimum(stats2[:, 0], stats2[:, 1])
+    (p2s, d2s, v2s), off2 = shard_slice([pair_src2, pair_dst2, valid2], K2)
+    T2l, stats2l, accept2l = _run_stage(
+        seg_src, seg_dst, p2s, d2s, v2s, translation_frame, cfg)
+    err2l = jnp.minimum(stats2l[:, 0], stats2l[:, 1])
     matched2, chosen2 = _assign(
-        pair_src2, pair_dst2, err2, accept2, L, cfg.thres_error)
+        p2s, d2s, err2l, accept2l, L, cfg.thres_error,
+        cp_axis=cp_axis, idx_offset=off2, total_pairs=K2)
+    T2 = gather(T2l)
+    stats2 = gather(stats2l)
 
     # ---- combine: stage-1 winners keep their match ----------------------
     eye = jnp.broadcast_to(jnp.eye(4, dtype=T1.dtype), (L, 4, 4))

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e30)
+_BIG = 1e30  # plain float: a jnp constant here would init the backend at import
 
 
 def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value):

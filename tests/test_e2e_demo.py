@@ -1,0 +1,69 @@
+"""Golden end-to-end test against the reference's demo fixture.
+
+The reference ships `demo.npz` (one real AV2 frame pair, GT flow, plus the
+reference's own predicted `est_flow`). Its prediction scores EPE3D ~0.0114
+overall / ~0.125 dynamic on this sample. We run the full TPU pipeline on a
+subsampled version (CPU test budget) and gate on metric-level parity.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from icpflow_tpu import SceneFlowEngine, DEMO
+from icpflow_tpu.data.demo import load_demo_npz
+from icpflow_tpu.pipeline import run_frame_pair
+from icpflow_tpu.metrics import compute_epe
+
+DEMO_PATH = "/root/reference/demo.npz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DEMO_PATH), reason="demo fixture not available")
+
+
+@pytest.fixture(scope="module")
+def demo_result():
+    data = load_demo_npz(DEMO_PATH, subsample=16000)
+    cfg = DEMO.replace(
+        max_points_scene=32768,
+        max_points=2048,
+        num_clusters=128,
+        max_pairs=128,
+        min_cluster_size=8,     # scaled: subsampling to ~25% of points
+        nn_tile=1024,
+        hist_grid_xy=128,
+        icp_max_iters=40,
+    )
+    engine = SceneFlowEngine(cfg)
+    res = run_frame_pair(engine, data["point_src"], data["point_dst"],
+                         translation_frame=2.0)
+    return data, res
+
+
+def test_epe_reference_quality(demo_result):
+    data, res = demo_result
+    gt = data["scene_flow"]
+    epe, accs, accr, outlier, routlier = compute_epe(res.flow, gt)
+    dyn = np.linalg.norm(gt, axis=1) > 0.05
+    epe_dyn = float(np.linalg.norm((res.flow - gt)[dyn], axis=1).mean())
+    print(f"demo subsampled: EPE={epe:.4f} ACC3DS={accs:.4f} "
+          f"EPE_dyn={epe_dyn:.4f} pairs={len(res.pairs)}")
+    # reference full-res quality is EPE ~0.011 / dyn ~0.125; the subsampled
+    # CPU run is gated loosely at the same order of magnitude
+    assert epe < 0.06
+    assert epe_dyn < 0.45
+    assert accs > 0.75
+
+
+def test_outputs_are_well_formed(demo_result):
+    data, res = demo_result
+    assert res.flow.shape == data["point_src"].shape
+    assert np.isfinite(res.flow).all()
+    assert res.pairs.shape[1] == 10
+    assert len(res.pairs) > 5            # a real scene matches many clusters
+    assert res.overflow == 0
+    # labels partition: every matched src label exists in the label image
+    for lbl in res.pairs[:, 0].astype(int):
+        assert (res.labels_src == lbl).sum() > 0
