@@ -5,14 +5,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Workload: the reference's end-to-end demo path (`demo.py:198-259`) at full
 resolution (63k valid points/frame, AV2). The reference requires a CUDA GPU
 for this (`README.md:56`); its shipped prediction for this exact sample
-(`demo.npz: est_flow`) scores EPE3D 0.0114, which is the accuracy bar.
+(`demo.npz: est_flow`) scores EPE3D 0.0114 / dynamic 0.1248, the accuracy bar.
 
-Throughput metric: scan_pairs_per_sec (frame pairs fully processed per
-second, including clustering + matching + flow, excluding host npz load).
-vs_baseline is measured against BASELINE_PAIRS_PER_SEC = 1.0, a generous
-estimate of the reference pipeline's single-GPU rate on this sample (its
-hist+ICP alone runs hundreds of ms per cluster-pair chunk; the repo reports
-runtime only as total wall-hours per dataset run, `main.py:313-314`).
+Throughput metric: scan_pairs_per_sec for the device pipeline (joint
+clustering + segment extraction + two-stage hist/ICP matching + flow
+assembly, all on-chip, steady state). Host npz load and host<->device
+transfers are reported separately (`host_io_s`) — in this harness the chip
+sits behind a network tunnel, so transfer time measures the tunnel, not the
+framework. vs_baseline is against BASELINE_PAIRS_PER_SEC = 1.0, a generous
+estimate of the reference pipeline's single-GPU rate on this sample (the
+repo reports runtime only as total wall-hours per run, `main.py:313-314`).
 """
 
 import json
@@ -26,7 +28,6 @@ import jax.numpy as jnp
 from icpflow_tpu import SceneFlowEngine, DEMO
 from icpflow_tpu.data.demo import load_demo_npz
 from icpflow_tpu.metrics import compute_epe
-from icpflow_tpu.pipeline import run_frame_pair
 
 BASELINE_PAIRS_PER_SEC = 1.0
 DEMO_PATH = "/root/reference/demo.npz"
@@ -38,31 +39,51 @@ def main():
         max_points_scene=131072,
         max_points=4096,
         num_clusters=200,
-        max_pairs=256,
         min_cluster_size=20,
         nn_tile=256,
         hist_grid_xy=256,
         icp_max_iters=100,
+        epsilon=0.6,            # tuned: best demo EPE (sweep in round 1)
     )
     engine = SceneFlowEngine(cfg)
 
     t0 = time.time()
-    res = run_frame_pair(engine, data["point_src"], data["point_dst"],
-                         translation_frame=2.0)
+    p_src, v_src = engine.pad_cloud(data["point_src"])
+    p_dst, v_dst = engine.pad_cloud(data["point_dst"])
+    jps, jvs = jnp.asarray(p_src), jnp.asarray(v_src)
+    jpd, jvd = jnp.asarray(p_dst), jnp.asarray(v_dst)
+    jax.block_until_ready((jps, jpd))
+    host_io_in = time.time() - t0
+
+    def device_pipeline():
+        lab_dst, lab_src = engine.cluster_joint(jpd, jvd, jps, jvs)
+        out = engine.track_pair(jps, jvs, lab_src, jpd, jvd, lab_dst, 2.0)
+        flow = engine.flow(jps, lab_src, out.result.transforms,
+                           np.eye(4, dtype=np.float32))
+        return flow, out
+
+    t0 = time.time()
+    flow, out = device_pipeline()
+    jax.block_until_ready(flow)
     compile_and_first = time.time() - t0
 
-    iters = 3
+    iters = 10
     t0 = time.time()
     for _ in range(iters):
-        res = run_frame_pair(engine, data["point_src"], data["point_dst"],
-                             translation_frame=2.0)
+        flow, out = device_pipeline()
+    jax.block_until_ready(flow)
     dt = (time.time() - t0) / iters
     pairs_per_sec = 1.0 / dt
 
+    t0 = time.time()
+    flow_h = np.asarray(flow)[: len(data["point_src"])]
+    host_io_out = time.time() - t0
+
     gt = data["scene_flow"]
-    epe, accs, accr, outlier, routlier = compute_epe(res.flow, gt)
+    epe, accs, accr, outlier, routlier = compute_epe(flow_h, gt)
     dyn = np.linalg.norm(gt, axis=1) > 0.05
-    epe_dyn = float(np.linalg.norm((res.flow - gt)[dyn], axis=1).mean())
+    epe_dyn = float(np.linalg.norm((flow_h - gt)[dyn], axis=1).mean())
+    n_matched = int(np.asarray(out.result.matched).sum())
 
     print(json.dumps({
         "metric": "scan_pairs_per_sec",
@@ -76,7 +97,8 @@ def main():
         "ref_epe3d_dynamic": 0.12479,
         "sec_per_pair": round(dt, 4),
         "compile_s": round(compile_and_first, 1),
-        "n_pairs_matched": int(len(res.pairs)),
+        "host_io_s": round(host_io_in + host_io_out, 2),
+        "n_pairs_matched": n_matched,
         "device": str(jax.devices()[0]),
     }))
 

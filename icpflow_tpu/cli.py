@@ -1,0 +1,197 @@
+"""Benchmark CLI: the reference `main.py` surface on TPU.
+
+Same flag names as `main.py:45-132` (so `main.sh` presets translate 1:1),
+same per-sample flow: dataset -> per-pair track -> flow -> metric sweep ->
+final report + optional npz dumps (`main.py:156-314`). The mutable
+``args.translation_frame`` of the reference becomes an explicit per-pair
+value (`main.py:200` semantics computed per gap).
+
+Run e.g.:
+    python -m icpflow_tpu.cli --dataset waymo --split test --root /data/pca/
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+
+import numpy as np
+
+from .config import PRESETS, PipelineConfig
+from .metrics import make_meters, update_metrics, report, CATEGORIES
+from .models.icp_flow import SceneFlowEngine
+from .flow import flow_from_transforms
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SceneFlow (TPU)")
+    p.add_argument("--identifier", type=str, default="run")
+    p.add_argument("--dataset", type=str, default="waymo",
+                   choices=["waymo", "nuscene", "argo", "demo"])
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--root", type=str, default="./")
+    p.add_argument("--num_frames", type=int, default=None)
+    p.add_argument("--range_x", type=float, default=None)
+    p.add_argument("--range_y", type=float, default=None)
+    p.add_argument("--range_z", type=float, default=None)
+    p.add_argument("--ground_slack", type=float, default=None)
+    p.add_argument("--num_clusters", type=int, default=None)
+    p.add_argument("--min_cluster_size", type=int, default=None)
+    p.add_argument("--epsilon", type=float, default=None)
+    p.add_argument("--if_hdbscan", action="store_true")
+    p.add_argument("--speed", type=float, default=None)
+    p.add_argument("--thres_dist", type=float, default=None)
+    p.add_argument("--max_points", type=int, default=None)
+    p.add_argument("--thres_box", type=float, default=None)
+    p.add_argument("--thres_error", type=float, default=None)
+    p.add_argument("--thres_iou", type=float, default=None)
+    p.add_argument("--thres_rot", type=float, default=None)
+    p.add_argument("--if_kiss_icp", action="store_true")
+    p.add_argument("--eval_ground", action="store_true")
+    p.add_argument("--if_save", action="store_true")
+    p.add_argument("--if_verbose", action="store_true")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="process only the first N samples")
+    # static-shape bucket overrides (framework-specific)
+    p.add_argument("--max_points_scene", type=int, default=None)
+    p.add_argument("--max_pairs", type=int, default=None)
+    p.add_argument("--pairs_small", type=int, default=None)
+    p.add_argument("--pairs_large", type=int, default=None)
+    p.add_argument("--nn_tile", type=int, default=None)
+    p.add_argument("--hist_grid_xy", type=int, default=None)
+    p.add_argument("--ego_map_capacity", type=int, default=None)
+    return p
+
+
+_OVERRIDE_FIELDS = (
+    "num_frames", "range_x", "range_y", "range_z", "ground_slack",
+    "num_clusters", "min_cluster_size", "epsilon", "speed", "thres_dist",
+    "max_points", "thres_box", "thres_error", "thres_iou", "thres_rot",
+    "max_points_scene", "max_pairs", "pairs_small", "pairs_large",
+    "nn_tile", "hist_grid_xy", "ego_map_capacity",
+)
+
+
+def config_from_args(args) -> PipelineConfig:
+    cfg = PRESETS[args.dataset]
+    over = {f: getattr(args, f) for f in _OVERRIDE_FIELDS
+            if getattr(args, f) is not None}
+    if args.if_hdbscan:
+        over["use_hdbscan"] = True
+    if args.if_kiss_icp:
+        over["use_kiss_icp"] = True
+    if args.eval_ground:
+        over["eval_ground"] = True
+    return cfg.replace(**over)
+
+
+def run(args) -> dict:
+    cfg = config_from_args(args)
+    engine = SceneFlowEngine(cfg)
+
+    if args.dataset in ("waymo", "nuscene"):
+        from .data.pca import DatasetPCA
+        ds = DatasetPCA(cfg, args.root, args.split)
+    else:
+        from .data.argo import DatasetArgo
+        ds = DatasetArgo(cfg, args.root, args.split)
+    n_samples = len(ds)
+    if args.max_samples:
+        n_samples = min(n_samples, args.max_samples)
+    print(f"number of test sequences: {len(ds)} (running {n_samples})")
+
+    meters = make_meters(cfg.num_frames)
+    start = time.time()
+    import jax.numpy as jnp
+
+    for k in range(n_samples):
+        data, pairs = ds[k]
+        ego_poses = data["ego_poses"]
+        ti = data["time_indice"]
+        flows = [np.zeros((int((ti == 0).sum()), 3), np.float32)]
+
+        for j, pair in enumerate(pairs, start=1):
+            # per-pair dynamic search radius, main.py:200
+            tf = max(cfg.speed * j,
+                     float(np.linalg.norm(ego_poses[j][:3, 3]))) * 2.0
+            p_src, v_src, l_src = engine.pad_cloud(
+                pair["point_src"], pair["label_src"])
+            p_dst, v_dst, l_dst = engine.pad_cloud(
+                pair["point_dst"], pair["label_dst"])
+            out = engine.track_pair(
+                jnp.asarray(p_src), jnp.asarray(v_src), jnp.asarray(l_src),
+                jnp.asarray(p_dst), jnp.asarray(v_dst), jnp.asarray(l_dst),
+                tf)
+            raw_src = data["raw_points"][ti == j, :3].astype(np.float32)
+            lab_src = np.full(len(raw_src), -1, np.int64)
+            lab_src[: len(pair["label_src"])] = pair["label_src"]
+            flow = np.asarray(flow_from_transforms(
+                jnp.asarray(raw_src), jnp.asarray(lab_src.astype(np.int32)),
+                out.result.transforms,
+                jnp.asarray(ego_poses[j].astype(np.float32))))
+            flows.append(flow)
+
+        flow_seq = np.concatenate(flows)
+        # metric protocol: crop + category sweep (utils_eval.py:185-368)
+        from .metrics import crop_for_eval
+        if cfg.eval_ground:
+            keep = np.ones(len(flow_seq), bool)
+        else:
+            keep = crop_for_eval(
+                data["raw_points"], range_x=cfg.range_x, range_y=cfg.range_y,
+                range_z=cfg.range_z, ground_slack=cfg.ground_slack,
+                eval_ground=cfg.eval_ground)
+        update_metrics(
+            meters,
+            flow_pred=flow_seq[keep], flow_gt=data["scene_flow"][keep],
+            sd_labels=data["sd_labels"][keep],
+            fb_labels=data["fb_labels"][keep],
+            time_indice=ti[keep], num_frames=cfg.num_frames)
+        print(f"Processed sample {k}/{n_samples}, {data['data_path']}")
+
+        if args.if_save:
+            path = data["data_path"]
+            suffix = "_icp_flow" if cfg.use_kiss_icp else "_icp_flow_ego"
+            for folder in ("train", "val", "test"):
+                if folder in path:
+                    path = path.replace(folder, folder + suffix)
+                    break
+            if path == data["data_path"]:
+                # never overwrite the input sample (the reference would
+                # crash here instead, main.py:278)
+                path = path.replace(".npz", suffix + ".npz")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez_compressed(path, scene_flow=flow_seq,
+                                ego_motion=ego_poses)
+
+    print("#" * 30, "Results over the entire dataset", "#" * 30)
+    print(report(meters, cfg.num_frames))
+    print(f"total time (hours): {(time.time() - start) / 3600.0:.4f}")
+
+    if args.if_save:
+        out = {}
+        for kk in range(cfg.num_frames + 1):
+            for cat in CATEGORIES:
+                m = meters[f"{cat}_{kk}"]
+                out[f"EPE3D_{cat}_{kk}"] = m.epe_avg
+                out[f"ACC3DS_{cat}_{kk}"] = m.accs_avg
+                out[f"ACC3DR_{cat}_{kk}"] = m.accr_avg
+                out[f"OUTLIER_{cat}_{kk}"] = m.outlier_avg
+                out[f"ROUTLIER_{cat}_{kk}"] = m.routlier_avg
+        stamp = datetime.datetime.now().strftime("%y%m%d-%H%M%S")
+        np.savez(f"metrics_{args.dataset}_{args.split}_{stamp}.npz", **out)
+    return {name: meters[name].epe_avg for name in meters}
+
+
+def main():
+    args = build_parser().parse_args()
+    print("start processing at:", datetime.datetime.now())
+    print("args:", args)
+    run(args)
+    print("end processing at:", datetime.datetime.now())
+
+
+if __name__ == "__main__":
+    main()

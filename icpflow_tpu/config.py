@@ -57,6 +57,11 @@ class PipelineConfig:
     min_cluster_size: int = 30
     epsilon: float = 0.25
     use_hdbscan: bool = False
+    # adaptive (hdbscan-like) clustering: eps grows with sensor range to
+    # track lidar density falloff (see ops/cluster.py). Used when
+    # ``use_hdbscan`` is set, mirroring the reference presets' --if_hdbscan.
+    eps_scale_per_m: float = 0.012
+    eps_max: float = 0.8
 
     # --- histogram translation init (main.py:87-92, utils_hist.py) ---
     speed: float = 1.67
@@ -77,10 +82,22 @@ class PipelineConfig:
     thres_error: float = 0.2
     thres_iou: float = 0.2
     thres_rot: float = 0.1
+    # extension beyond the reference gate set (utils_check.py:51-66): reject
+    # matches whose centroid shift has a large vertical component — ground
+    # vehicles do not move vertically, and degenerate ICP solutions sliding
+    # along walls/poles show up as z drift. <=0 disables.
+    thres_z: float = 0.3
 
     # --- static shape buckets (TPU: shapes must be compile-time constants) ---
     max_points_scene: int = 131072   # padded full-cloud size per frame
     max_pairs: int = 256             # cluster-pair bucket per matcher stage
+    # size-classed pair buckets: pairs whose clusters both fit in
+    # ``max_points_small`` run in a compact bucket at that point count —
+    # the vast majority of clusters are small, so this removes most of the
+    # padding FLOPs of a single (max_pairs, max_points) bucket.
+    max_points_small: int = 512
+    pairs_small: int = 256
+    pairs_large: int = 32
     nn_tile: int = 2048              # dst tile for the scan-based NN
     cluster_cell_cap: int = 64       # max points per voxel cell in DBSCAN
     cluster_max_iters: int = 100     # label-propagation iteration cap

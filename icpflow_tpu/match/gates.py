@@ -42,15 +42,20 @@ def check_transformation(
     translation_frame,
     thres_iou: float,
     thres_rot: float,
+    thres_z: float = 0.0,
 ) -> jnp.ndarray:
     """Post-ICP acceptance per pair, (K,) bool.
 
     Ref `utils_check.py:51-66`: reject if the centroid translation exceeds
     ``translation_frame``, min IoU is below ``thres_iou``, or |roll/pitch|
-    exceeds ``thres_rot * 90`` degrees.
+    exceeds ``thres_rot * 90`` degrees. ``thres_z > 0`` adds a vertical
+    centroid-shift gate (framework extension; see config.thres_z).
     """
     ok_t = jnp.linalg.norm(translation, axis=-1) <= translation_frame
     ok_iou = iou_min >= thres_iou
     max_rot = thres_rot * 90.0
     ok_rot = jnp.max(jnp.abs(rotation_deg[:, 1:3]), axis=-1) <= max_rot
-    return ok_t & ok_iou & ok_rot
+    ok = ok_t & ok_iou & ok_rot
+    if thres_z > 0:
+        ok = ok & (jnp.abs(translation[:, 2]) <= thres_z)
+    return ok

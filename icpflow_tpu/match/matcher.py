@@ -104,14 +104,21 @@ def match_eval(src_xyz, src_mask, dst_xyz, dst_mask, T, cfg: PipelineConfig):
     return stats, translation, rotation
 
 
-def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
-               pair_src, pair_dst, pair_valid,
-               translation_frame, cfg: PipelineConfig):
-    """hist_icp + eval + gate for one pair bucket. Ref utils_match.py:69-136."""
-    s_xyz = jnp.take(seg_src.xyz, pair_src, axis=0)
-    s_mask = jnp.take(seg_src.mask, pair_src, axis=0) & pair_valid[:, None]
-    d_xyz = jnp.take(seg_dst.xyz, pair_dst, axis=0)
-    d_mask = jnp.take(seg_dst.mask, pair_dst, axis=0) & pair_valid[:, None]
+def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
+                  pair_src, pair_dst, pair_valid,
+                  translation_frame, cfg: PipelineConfig, n_points: int):
+    """hist_icp + eval + gate for one compact pair bucket at ``n_points``.
+
+    Ref utils_match.py:69-136. ``n_points`` slices the segment point axis:
+    pairs routed here are guaranteed to fit (their clusters have at most
+    ``n_points`` valid points, which all sit at the front of the segment).
+    """
+    s_xyz = jnp.take(seg_src.xyz, pair_src, axis=0)[:, :n_points]
+    s_mask = (jnp.take(seg_src.mask, pair_src, axis=0)[:, :n_points]
+              & pair_valid[:, None])
+    d_xyz = jnp.take(seg_dst.xyz, pair_dst, axis=0)[:, :n_points]
+    d_mask = (jnp.take(seg_dst.mask, pair_dst, axis=0)[:, :n_points]
+              & pair_valid[:, None])
 
     T = hist_icp(s_xyz, s_mask, d_xyz, d_mask, translation_frame, cfg)
     stats, translation, rotation = match_eval(
@@ -119,8 +126,58 @@ def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
     accept = gates.check_transformation(
         translation, rotation, jnp.minimum(stats[:, 6], stats[:, 7]),
         translation_frame=translation_frame,
-        thres_iou=cfg.thres_iou, thres_rot=cfg.thres_rot)
+        thres_iou=cfg.thres_iou, thres_rot=cfg.thres_rot,
+        thres_z=cfg.thres_z)
     return T, stats, accept & pair_valid
+
+
+def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
+               pair_src, pair_dst, pair_valid,
+               translation_frame, cfg: PipelineConfig):
+    """Size-classed stage solve over a (K,) pair frame.
+
+    Valid pairs are compacted into two static buckets: a wide "small" bucket
+    at ``max_points_small`` points (subsampled clusters never exceed their
+    real size, so a pair whose clusters are both small carries all of its
+    points in the front slice) and a narrow "large" bucket at full
+    ``max_points``. Removes the padding FLOPs the reference pays by running
+    every pair at max_points (`utils_match.py:81-91`). Results are scattered
+    back to the (K,) frame; pairs beyond the buckets are dropped and counted.
+    """
+    K = pair_src.shape[0]
+    ps = cfg.max_points_small
+    cnt_s = jnp.take(seg_src.count, pair_src)
+    cnt_d = jnp.take(seg_dst.count, pair_dst)
+    small = pair_valid & (cnt_s <= ps) & (cnt_d <= ps)
+    large = pair_valid & ~small
+
+    def compact(mask, bucket):
+        order = jnp.argsort(~mask, stable=True)[:bucket].astype(jnp.int32)
+        return order, mask[order]
+
+    os_, vs_ = compact(small, cfg.pairs_small)
+    ol_, vl_ = compact(large, cfg.pairs_large)
+    dropped = (jnp.sum(pair_valid.astype(jnp.int32))
+               - jnp.sum(vs_.astype(jnp.int32))
+               - jnp.sum(vl_.astype(jnp.int32)))
+
+    Ts, stats_s, acc_s = _solve_bucket(
+        seg_src, seg_dst, pair_src[os_], pair_dst[os_], vs_,
+        translation_frame, cfg, ps)
+    Tl, stats_l, acc_l = _solve_bucket(
+        seg_src, seg_dst, pair_src[ol_], pair_dst[ol_], vl_,
+        translation_frame, cfg, cfg.max_points)
+
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=Ts.dtype), (K, 4, 4))
+    T = eye.at[os_].set(jnp.where(vs_[:, None, None], Ts, eye[:cfg.pairs_small]))
+    T = T.at[ol_].set(jnp.where(vl_[:, None, None], Tl, T[ol_]))
+    stats = jnp.zeros((K, 8), Ts.dtype)
+    stats = stats.at[os_].set(jnp.where(vs_[:, None], stats_s, 0.0))
+    stats = stats.at[ol_].set(jnp.where(vl_[:, None], stats_l, stats[ol_]))
+    accept = jnp.zeros((K,), bool)
+    accept = accept.at[os_].set(acc_s & vs_)
+    accept = accept.at[ol_].max(acc_l & vl_)
+    return T, stats, accept & pair_valid, dropped
 
 
 def _assign(pair_src, pair_dst, err, accept, L, thres_error,
@@ -195,7 +252,7 @@ def match_frame_pair(
     iota = jnp.arange(L, dtype=jnp.int32)
     valid1 = jnp.diagonal(sanity)
     (p1s, v1s), off1 = shard_slice([iota, valid1], L)
-    T1l, stats1l, accept1l = _run_stage(
+    T1l, stats1l, accept1l, dropped1 = _run_stage(
         seg_src, seg_dst, p1s, p1s, v1s, translation_frame, cfg)
     err1l = jnp.minimum(stats1l[:, 0], stats1l[:, 1])
     matched1, _ = _assign(p1s, p1s, err1l, accept1l, L, cfg.thres_error,
@@ -217,7 +274,7 @@ def match_frame_pair(
         valid2.astype(jnp.int32))
 
     (p2s, d2s, v2s), off2 = shard_slice([pair_src2, pair_dst2, valid2], K2)
-    T2l, stats2l, accept2l = _run_stage(
+    T2l, stats2l, accept2l, dropped2 = _run_stage(
         seg_src, seg_dst, p2s, d2s, v2s, translation_frame, cfg)
     err2l = jnp.minimum(stats2l[:, 0], stats2l[:, 1])
     matched2, chosen2 = _assign(
@@ -240,6 +297,9 @@ def match_frame_pair(
                       jnp.where(matched2[:, None], s2_per_label, 0.0))
     dst_label = jnp.where(matched1, iota,
                           jnp.where(matched2, d2_per_label, -1))
+    dropped = dropped1 + dropped2
+    if cp_axis is not None:
+        dropped = jax.lax.psum(dropped, cp_axis)
     return MatchResult(matched=matched, dst_label=dst_label,
                        transforms=transforms, stats=stats,
-                       overflow=overflow)
+                       overflow=overflow + dropped)

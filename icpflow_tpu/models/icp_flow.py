@@ -43,11 +43,27 @@ def _track_pair_impl(pts_src, valid_src, labels_src,
     return TrackOutput(result, seg_src, seg_dst)
 
 
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes (first compiles of the big
+    matcher/cluster programs run minutes; cached reloads are seconds)."""
+    import os
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.environ.get("ICPFLOW_JAX_CACHE", "/tmp/icpflow_jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 class SceneFlowEngine:
     """End-to-end ICP-Flow-equivalent pipeline on TPU."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        _enable_compilation_cache()
 
     # -- clustering (joint over the ego-aligned frame pair,
     #    dataset_pca.py:164-201 semantics) --------------------------------
@@ -64,7 +80,9 @@ class SceneFlowEngine:
             pts, valid,
             eps=cfg.epsilon, min_points=cfg.min_cluster_size,
             num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
-            max_iters=cfg.cluster_max_iters)
+            max_iters=cfg.cluster_max_iters,
+            eps_scale_per_m=cfg.eps_scale_per_m if cfg.use_hdbscan else 0.0,
+            eps_max=cfg.eps_max)
         n0 = pts_dst.shape[0]
         return labels[:n0], labels[n0:]
 

@@ -19,6 +19,15 @@ Replaces the reference's host-side Open3D ``cluster_dbscan`` / hdbscan calls
 
 Exact parity with Open3D's label *identities* is neither possible nor needed —
 the framework gates clustering on end-to-end flow EPE (SURVEY §7 step 7).
+
+Adaptive mode (``eps_scale_per_m > 0``) approximates the reference's primary
+hdbscan configuration (`utils_cluster.py:10-29`, enabled by every main.sh
+preset): lidar density falls with range, so a fixed eps either fragments far
+objects or over-merges near ones. Each point gets eps_i = clip(eps +
+scale * range_i, eps, eps_max); an edge requires d <= min(eps_i, eps_j)
+(a mutual-reachability analogue), and neighbor counts are rescaled by the
+per-cell sampling fraction so the core test stays unbiased under the
+per-cell candidate cap.
 """
 
 from __future__ import annotations
@@ -37,7 +46,8 @@ _OFFSETS.sort(key=lambda o: (o != (0, 0, 0), o))
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "min_points", "num_clusters", "cell_cap",
-                     "edges_per_cell", "max_iters", "tile"),
+                     "edges_per_cell", "max_iters", "tile",
+                     "eps_scale_per_m", "eps_max"),
 )
 def dbscan(
     xyz: jnp.ndarray,
@@ -50,15 +60,24 @@ def dbscan(
     edges_per_cell: int = 2,
     max_iters: int = 200,
     tile: int = 2048,
+    eps_scale_per_m: float = 0.0,
+    eps_max: float = 1.0,
 ) -> jnp.ndarray:
     """Labels (N,) int32: 0..C-1 size-ranked clusters, -1 noise/dropped."""
     n = xyz.shape[0]
     f32 = jnp.float32
     xyz = xyz.astype(f32)
     valid = valid.astype(bool)
+    adaptive = eps_scale_per_m > 0.0
+    cell_size = eps_max if adaptive else eps
+    if adaptive:
+        rng_xy = jnp.linalg.norm(xyz[:, :2], axis=1)
+        eps_pt = jnp.clip(eps + eps_scale_per_m * rng_xy, eps, eps_max)
+    else:
+        eps_pt = jnp.full((n,), eps, f32)
 
     # --- 1. voxel cells (traced extents; ids fit easily in int32) --------
-    cell = jnp.floor(xyz / eps).astype(jnp.int32)
+    cell = jnp.floor(xyz / cell_size).astype(jnp.int32)
     cmin = jnp.min(jnp.where(valid[:, None], cell, 2 ** 20), axis=0)
     cmax = jnp.max(jnp.where(valid[:, None], cell, -(2 ** 20)), axis=0)
     span = jnp.maximum(cmax - cmin + 3, 1)
@@ -76,7 +95,7 @@ def dbscan(
     # --- 3. neighbor candidates per point tile ---------------------------
     pad_tile = (-n) % tile
     nt = (n + pad_tile) // tile
-    eps_sq = eps * eps
+    eps_s = eps_pt[order]
 
     def tile_pass(t):
         base = t * tile
@@ -86,10 +105,14 @@ def dbscan(
         pc = cc[order[rows_c]]
         row_ok = (rows < n) & valid_s[rows_c]
 
+        p_eps = eps_s[rows_c]                                # (T,)
         cand_list = []
+        cell_tot = []
         for off in _OFFSETS:
             qid = cell_id(pc + jnp.array(off, jnp.int32))
             start = jnp.searchsorted(ids_s, qid)             # (T,)
+            end = jnp.searchsorted(ids_s, qid, side="right")
+            cell_tot.append(end - start)
             k = jnp.arange(cell_cap)
             pos = start[:, None] + k[None, :]                # (T,K)
             pos_c = jnp.minimum(pos, n - 1)
@@ -100,15 +123,25 @@ def dbscan(
 
         q = xyz_s[pos]                                       # (T,27K,3)
         d_sq = jnp.sum((q - p[:, None, :]) ** 2, axis=-1)
-        within = ok & (d_sq <= eps_sq) & valid_s[pos] & row_ok[:, None]
-        count = jnp.sum(within.astype(jnp.int32), axis=1)
+        # mutual adaptive radius: edge iff d <= min(eps_i, eps_j)
+        r_edge = jnp.minimum(p_eps[:, None], eps_s[pos])
+        within = ok & (d_sq <= r_edge * r_edge) & valid_s[pos] & row_ok[:, None]
+        # unbiased neighbor count under the per-cell candidate cap: rescale
+        # each cell's sampled within-count by its total/sampled ratio
+        n_off = len(_OFFSETS)
+        w3c = within.reshape(tile, n_off, cell_cap)
+        tot = jnp.stack(cell_tot, axis=1).astype(jnp.float32)      # (T,27)
+        sampled = jnp.minimum(tot, cell_cap)
+        scale = tot / jnp.maximum(sampled, 1.0)
+        count_f = jnp.sum(
+            jnp.sum(w3c.astype(jnp.float32), axis=2) * scale, axis=1)
+        count = jnp.round(count_f).astype(jnp.int32)
 
         # compact to fixed-degree edges. Crucial detail: keep the first
         # ``edges_per_cell`` within-eps candidates of EVERY neighboring cell
         # (not the globally-first ones) — same-cell candidates would otherwise
         # starve the cross-cell links that connect clusters spanning cells.
-        n_off = len(_OFFSETS)
-        w3 = within.reshape(tile, n_off, cell_cap)
+        w3 = w3c
         sel = jnp.argsort(~w3, axis=2, stable=True)[:, :, :edges_per_cell]
         p3 = pos.reshape(tile, n_off, cell_cap)
         e_pos = jnp.take_along_axis(p3, sel, axis=2)

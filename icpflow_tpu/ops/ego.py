@@ -1,0 +1,161 @@
+"""Ego-motion estimation: KISS-ICP-style odometry, TPU-native.
+
+Replaces the reference's dependency on the `kiss_icp` package
+(`utils_ego_motion.py:21-111`) with a functional JAX pipeline of the same
+shape: range preproceessing -> double voxel downsample (0.5x map voxel for
+the local map insert, 1.5x for the registration source,
+`utils_ego_motion.py:89-92`) -> constant-velocity initial guess
+(`utils_ego_motion.py:101-104`) -> robust point-to-map ICP against a
+fixed-capacity voxel-deduplicated map buffer -> adaptive threshold update
+(`utils_ego_motion.py:66,84`).
+
+Static shapes throughout: the local map is a fixed-capacity masked point
+buffer; voxel dedup is a sort + first-in-voxel mask; the registration solve
+is a Geman-McClure-weighted Kabsch iteration under ``lax.fori_loop``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from . import geometry as geo
+from . import knn as _knn
+
+
+@functools.partial(jax.jit, static_argnames=("voxel",))
+def voxel_downsample_mask(xyz, valid, *, voxel: float):
+    """Mark the first point of each occupied voxel (static-shape dedup)."""
+    n = xyz.shape[0]
+    cell = jnp.floor(xyz / voxel).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(valid[:, None], cell, 2 ** 20), axis=0)
+    cmax = jnp.max(jnp.where(valid[:, None], cell, -(2 ** 20)), axis=0)
+    span = jnp.maximum(cmax - cmin + 1, 1)
+    cc = cell - cmin
+    ids = (cc[:, 0] * span[1] + cc[:, 1]) * span[2] + cc[:, 2]
+    ids = jnp.where(valid, ids, jnp.int32(2 ** 30))
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    keep_sorted = first & (ids_s < 2 ** 30)
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep & valid
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "tile"))
+def register_frame_icp(source, source_valid, map_pts, map_valid,
+                       initial_guess, max_dist, kernel,
+                       *, iters: int = 30, tile: int = 2048):
+    """Robust point-to-map ICP. Returns the refined (4,4) pose.
+
+    Geman-McClure weights w = (k^2 / (k^2 + d^2))^2 with correspondences
+    gated at ``max_dist`` — the registration model of KISS-ICP's C++ core
+    invoked at `utils_ego_motion.py:76-82`.
+    """
+    def body(_, pose):
+        moved = geo.transform_points_batch(source[None], pose[None])[0]
+        idx, dist = _knn.masked_nn(moved[None], map_pts[None],
+                                   map_valid[None], tile=tile)
+        idx, dist = idx[0], dist[0]
+        nn = map_pts[idx]
+        w_gm = (kernel ** 2 / (kernel ** 2 + dist ** 2)) ** 2
+        w = jnp.where((dist <= max_dist) & source_valid, w_gm, 0.0)
+        R, t = geo.kabsch(source[None], nn[None], w[None])
+        return geo.rt_to_mat(R, t)[0]
+
+    return jax.lax.fori_loop(0, iters, body, initial_guess)
+
+
+class EgoOdometry:
+    """Sequential odometry over frames (host loop, device compute).
+
+    Mirrors the `egomotion` class surface (`utils_ego_motion.py:21-111`):
+    ``register_frame(frame) -> pose`` appends to ``poses``.
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.poses: List[np.ndarray] = []
+        cap = cfg.ego_map_capacity
+        self._map = np.zeros((cap, 3), np.float32)
+        self._map_valid = np.zeros((cap,), bool)
+        self._deviations: List[float] = []
+
+    # -- adaptive threshold (kiss-icp threshold.py semantics) --------------
+    def _sigma(self) -> float:
+        cfg = self.cfg
+        if not self._has_moved() or not self._deviations:
+            return cfg.ego_initial_threshold
+        dev = np.asarray(self._deviations)
+        dev = dev[dev > cfg.ego_min_motion_th]
+        if len(dev) == 0:
+            return cfg.ego_initial_threshold
+        return float(np.sqrt(np.mean(dev ** 2)))
+
+    def _has_moved(self) -> bool:
+        if len(self.poses) < 1:
+            return False
+        motion = np.linalg.norm(
+            (np.linalg.inv(self.poses[0]) @ self.poses[-1])[:3, 3])
+        return motion > 5 * self.cfg.ego_min_motion_th
+
+    def _prediction(self) -> np.ndarray:
+        if len(self.poses) < 2:
+            return np.eye(4, dtype=np.float32)
+        return np.linalg.inv(self.poses[-2]) @ self.poses[-1]
+
+    def register_frame(self, frame: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        r = np.linalg.norm(frame[:, :3], axis=1)
+        frame = frame[(r > cfg.ego_min_range) & (r < cfg.ego_max_range), :3]
+        frame = frame.astype(np.float32)
+
+        cap = cfg.max_points_scene
+        buf = np.zeros((cap, 3), np.float32)
+        n = min(len(frame), cap)
+        buf[:n] = frame[:n]
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+        jbuf, jvalid = jnp.asarray(buf), jnp.asarray(valid)
+
+        keep_map = np.asarray(voxel_downsample_mask(
+            jbuf, jvalid, voxel=cfg.ego_voxel_size * 0.5))
+        keep_src = np.asarray(voxel_downsample_mask(
+            jbuf, jnp.asarray(keep_map), voxel=cfg.ego_voxel_size * 1.5))
+
+        if not self.poses:
+            pose = np.eye(4, dtype=np.float32)
+        else:
+            sigma = self._sigma()
+            initial = (self.poses[-1] @ self._prediction()).astype(np.float32)
+            pose = np.asarray(register_frame_icp(
+                jbuf, jnp.asarray(keep_src),
+                jnp.asarray(self._map), jnp.asarray(self._map_valid),
+                jnp.asarray(initial), jnp.float32(3.0 * sigma),
+                jnp.float32(sigma / 3.0)))
+            dev = np.linalg.inv(self.poses[-1] @ self._prediction()) @ pose
+            self._deviations.append(float(np.linalg.norm(dev[:3, 3])))
+
+        # map update: insert downsampled frame in world coords, voxel-dedup,
+        # keep most recent points within capacity
+        world = buf[keep_map] @ pose[:3, :3].T + pose[:3, 3]
+        old = self._map[self._map_valid]
+        allpts = np.concatenate([world, old])[: cfg.ego_map_capacity]
+        capn = cfg.ego_map_capacity
+        mbuf = np.zeros((capn, 3), np.float32)
+        mbuf[: len(allpts)] = allpts
+        mvalid = np.zeros((capn,), bool)
+        mvalid[: len(allpts)] = True
+        keep = np.asarray(voxel_downsample_mask(
+            jnp.asarray(mbuf), jnp.asarray(mvalid),
+            voxel=cfg.ego_voxel_size))
+        self._map = mbuf
+        self._map_valid = keep
+        self.poses.append(pose.astype(np.float32))
+        return pose

@@ -1,0 +1,116 @@
+"""Pallas TPU kernel: fused masked nearest-neighbor search.
+
+The XLA path (`ops/knn.py`) computes distance tiles with MXU matmuls but
+round-trips each (B, N, tile) distance block through HBM before the running
+min — at reference scale that is tens of GB of traffic per ICP iteration and
+the pipeline becomes bandwidth-bound. This kernel keeps each distance block
+in VMEM and folds the min/argmin immediately: per (batch, src-tile) grid cell
+it streams dst tiles, forms the (TM, TN) squared-distance block, and reduces
+over the dst (sublane) axis, writing only the final (dist, idx) lane vectors.
+
+Layout notes:
+ * coordinates are carried as (B, 3, N) so the *point* axis is the lane
+   dimension — a trailing xyz axis of size 3 would waste 125/128 lanes;
+ * the distance block is (TM, TN) so the reduction runs over sublanes and
+   the carries stay (1, TN) 2D lane vectors;
+ * the cross term runs at HIGHEST MXU precision (3-pass bf16 ~= fp32) —
+   metre-scale coordinates with a 0.1 m inlier gate do not survive one-pass
+   bf16.
+
+HBM traffic drops from O(N*M) to O(N + M) per batch row — the speed-of-light
+regime for this op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+
+
+def _nn_kernel(src_ref, dst_ref, mask_ref, dist_ref, idx_ref, *, tm: int):
+    x = src_ref[0]                                     # (3, TN)
+    tn = x.shape[1]
+    m = dst_ref.shape[2]
+    n_tiles = m // tm
+    xsq = jnp.sum(x * x, axis=0, keepdims=True)        # (1, TN)
+
+    def body(t, carry):
+        best_d, best_i = carry                         # (1, TN) each
+        j0 = t * tm
+        y = dst_ref[0, :, pl.ds(j0, tm)]               # (3, TM)
+        msk = mask_ref[0, pl.ds(j0, tm), :]            # (TM, 1)
+        cross = jax.lax.dot_general(
+            y, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (TM, TN)
+        ysq = jnp.sum(y * y, axis=0)                   # (TM,)
+        d2 = xsq - 2.0 * cross + ysq[:, None]          # (TM, TN)
+        d2 = jnp.where(msk, d2, _BIG)
+        tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TN)
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + j0
+        tile_arg = jnp.min(
+            jnp.where(d2 <= tile_min, j_iota, m), axis=0, keepdims=True)
+        take = tile_min < best_d
+        return (jnp.where(take, tile_min, best_d),
+                jnp.where(take, tile_arg, best_i))
+
+    init = (jnp.full((1, tn), _BIG, jnp.float32),
+            jnp.zeros((1, tn), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
+    dist_ref[0] = best_d
+    idx_ref[0] = jnp.minimum(best_i, m - 1)
+
+
+def _pad_axis(x, multiple, axis, value):
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm", "interpret"))
+def masked_nn_pallas(src, dst, dst_mask, *, tn: int = 1024, tm: int = 1024,
+                     interpret: bool = False):
+    """Drop-in for `knn.masked_nn` on TPU. Returns (idx, euclidean dist)."""
+    b, n, _ = src.shape
+    m = dst.shape[1]
+    src_t = _pad_axis(jnp.swapaxes(src.astype(jnp.float32), 1, 2), tn, 2, 0.0)
+    dst_t = _pad_axis(jnp.swapaxes(dst.astype(jnp.float32), 1, 2), tm, 2, 0.0)
+    mask_p = _pad_axis(dst_mask.astype(bool), tm, 1, False)[:, :, None]
+    np_, mp = src_t.shape[2], dst_t.shape[2]
+
+    grid = (b, np_ // tn)
+    dist, idx = pl.pallas_call(
+        functools.partial(_nn_kernel, tm=tm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tn), lambda bb, ii: (bb, 0, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, mp), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, 1), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tn), lambda bb, ii: (bb, 0, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda bb, ii: (bb, 0, ii),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+        ],
+        interpret=interpret,
+    )(src_t, dst_t, mask_p)
+    idx = jnp.minimum(idx[:, 0, :n], m - 1)
+    return idx, jnp.sqrt(jnp.maximum(dist[:, 0, :n], 0.0))
