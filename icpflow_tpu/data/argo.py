@@ -53,7 +53,8 @@ class DatasetArgo:
         return len(self.seq_paths)
 
     def load_raw(self, path: str) -> Dict[str, np.ndarray]:
-        d = dict(np.load(path))
+        from .native_loader import load_npz
+        d = load_npz(path)
         pcl0 = d["pc1"][d["pc1_flows_valid_idx"]]
         pcl1 = d["pc2"][d["pc2_flows_valid_idx"]]
         flow01 = d["gt_flow_0_1"][d["pc1_flows_valid_idx"]]

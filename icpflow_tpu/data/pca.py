@@ -64,7 +64,8 @@ class DatasetPCA:
         from .loading import ego_motion_compensation, reconstruct_sequence
 
         cfg = self.cfg
-        d = np.load(path, allow_pickle=True)
+        from .native_loader import load_npz
+        d = load_npz(path)
         raw_points, time_indice = d["raw_points"], d["time_indice"]
         sd, fb = d["sd_labels"], d["fb_labels"]
         inst = d["inst_labels"]

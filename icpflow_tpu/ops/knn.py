@@ -33,7 +33,6 @@ def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value):
     return jnp.pad(x, pad, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
 def masked_nn(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -42,15 +41,38 @@ def masked_nn(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """For each src point, index and euclidean distance of nearest valid dst.
 
+    Dispatches to the fused Pallas kernel on TPU backends (VMEM-resident
+    distance blocks, see `ops/pallas/nn_kernel.py`); the scan-tiled XLA path
+    is the portable fallback used on CPU (tests, virtual meshes).
+
     Args:
       src: (B, N, 3) query points (invalid rows allowed; mask downstream).
       dst: (B, M, 3) reference points.
       dst_mask: (B, M) validity of reference points.
-      tile: dst tile size for the scan.
+      tile: dst tile size for the scan fallback.
     Returns:
       idx: (B, N) int32 argmin over valid dst (0 if none valid).
       dist: (B, N) euclidean distance (sqrt of min squared distance).
     """
+    m = dst.shape[1]
+    n = src.shape[1]
+    # VMEM guard: the kernel keeps the whole dst row resident per batch;
+    # very large dst (e.g. the ego odometry map buffer) stays on the XLA path.
+    if jax.default_backend() == "tpu" and 128 <= m <= 8192:
+        from .pallas.nn_kernel import masked_nn_pallas
+        rup = lambda v: -(-v // 128) * 128
+        return masked_nn_pallas(src, dst, dst_mask,
+                                tn=min(1024, rup(n)), tm=min(1024, rup(m)))
+    return _masked_nn_xla(src, dst, dst_mask, tile=tile)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _masked_nn_xla(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+    tile: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, n, _ = src.shape
     m = dst.shape[1]
     dst_p = _pad_to_multiple(dst, tile, 1, 0.0)

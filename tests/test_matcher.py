@@ -1,0 +1,142 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icpflow_tpu import DEMO
+from icpflow_tpu.match.matcher import match_frame_pair, hist_icp
+from icpflow_tpu.ops.segments import extract_segments
+
+CFG = DEMO.replace(
+    max_points_scene=4096, max_points=256, num_clusters=16, max_pairs=32,
+    pairs_small=32, pairs_large=4, max_points_small=128,
+    min_cluster_size=10, nn_tile=128, hist_grid_xy=64, icp_max_iters=15,
+)
+
+
+def build_scene(rng, clusters, n_cap=4096):
+    """clusters: list of (center, n, shift) -> (src pts/labels, dst pts/labels)."""
+    src, dst, ls, ld = [], [], [], []
+    for lbl, (c, n, shift) in enumerate(clusters):
+        pts = np.asarray(c) + rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        src.append(pts)
+        ls.append(np.full(n, lbl))
+        moved = pts + np.asarray(shift, np.float32)
+        dst.append(moved + rng.normal(scale=0.01, size=moved.shape))
+    src = np.concatenate(src).astype(np.float32)
+    dst = np.concatenate(dst).astype(np.float32)
+    labels = np.concatenate(ls).astype(np.int32)
+
+    def pad(p, l):
+        pp = np.zeros((n_cap, 3), np.float32)
+        pp[: len(p)] = p
+        vv = np.zeros((n_cap,), bool)
+        vv[: len(p)] = True
+        ll = np.full((n_cap,), -1, np.int32)
+        ll[: len(l)] = l
+        return jnp.asarray(pp), jnp.asarray(vv), jnp.asarray(ll)
+
+    return pad(src, labels), pad(dst, labels)
+
+
+def segs(padded, cfg=CFG):
+    p, v, l = padded
+    return extract_segments(p, l, v, num_labels=cfg.num_clusters,
+                            max_points=cfg.max_points)
+
+
+def test_stage1_static_self_match():
+    rng = np.random.default_rng(0)
+    s, d = build_scene(rng, [([0, 0, 0], 100, [0, 0, 0]),
+                             ([10, 0, 0], 80, [0.1, 0, 0])])
+    res = match_frame_pair(segs(s), segs(d), jnp.float32(4.0), CFG)
+    m = np.asarray(res.matched)
+    assert m[0] and m[1]
+    T = np.asarray(res.transforms)
+    np.testing.assert_allclose(T[0, :3, 3], 0, atol=0.05)
+    np.testing.assert_allclose(T[1, :3, 3], [0.1, 0, 0], atol=0.05)
+
+
+def test_stage2_cross_label_match():
+    rng = np.random.default_rng(1)
+    # same object, but src/dst labelled differently (disjoint -> dynamic)
+    pts = rng.uniform(-1, 1, (120, 3)).astype(np.float32)
+    shift = np.array([3.0, 0.5, 0.0], np.float32)
+    n_cap = 4096
+
+    def pad(p, lbl):
+        pp = np.zeros((n_cap, 3), np.float32)
+        pp[: len(p)] = p
+        vv = np.zeros((n_cap,), bool)
+        vv[: len(p)] = True
+        ll = np.full((n_cap,), -1, np.int32)
+        ll[: len(p)] = lbl
+        return jnp.asarray(pp), jnp.asarray(vv), jnp.asarray(ll)
+
+    s = pad(pts, 2)
+    d = pad(pts + shift, 5)
+    res = match_frame_pair(segs(s), segs(d), jnp.float32(8.0), CFG)
+    m = np.asarray(res.matched)
+    assert m[2]
+    assert int(np.asarray(res.dst_label)[2]) == 5
+    np.testing.assert_allclose(np.asarray(res.transforms)[2, :3, 3],
+                               shift, atol=0.05)
+
+
+def test_size_mismatch_rejected_by_sanity():
+    rng = np.random.default_rng(2)
+    # tiny vs huge cluster with same label: bbox ratio gate must reject
+    small = rng.uniform(-0.2, 0.2, (40, 3)).astype(np.float32)
+    big = rng.uniform(-8, 8, (200, 3)).astype(np.float32)
+    n_cap = 4096
+
+    def pad(p, lbl):
+        pp = np.zeros((n_cap, 3), np.float32)
+        pp[: len(p)] = p
+        vv = np.zeros((n_cap,), bool)
+        vv[: len(p)] = True
+        ll = np.full((n_cap,), -1, np.int32)
+        ll[: len(p)] = lbl
+        return jnp.asarray(pp), jnp.asarray(vv), jnp.asarray(ll)
+
+    res = match_frame_pair(segs(pad(small, 0)), segs(pad(big, 0)),
+                           jnp.float32(4.0), CFG)
+    assert not bool(np.asarray(res.matched)[0])
+
+
+def test_hist_icp_swap_invariance():
+    rng = np.random.default_rng(3)
+    # smaller-as-src swap (utils_match.py:138-157): result must map src->dst
+    # regardless of which side is bigger
+    a = rng.uniform(-1, 1, (60, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    shift = np.array([1.0, -0.4, 0.0], np.float32)
+
+    def seg(p, cap=512):
+        pp = np.zeros((1, cap, 3), np.float32)
+        pp[0, : len(p)] = p
+        mm = np.zeros((1, cap), bool)
+        mm[0, : len(p)] = True
+        return jnp.asarray(pp), jnp.asarray(mm)
+
+    sx, sm = seg(np.concatenate([a, b]))          # src bigger
+    dx, dm = seg(np.concatenate([a, b]) + shift)  # dst = src + shift
+    T1 = np.asarray(hist_icp(sx, sm, dx, dm, jnp.float32(4.0), CFG))[0]
+    np.testing.assert_allclose(T1[:3, 3], shift, atol=0.05)
+
+    # reversed roles: transform should be the inverse shift
+    T2 = np.asarray(hist_icp(dx, dm, sx, sm, jnp.float32(4.0), CFG))[0]
+    np.testing.assert_allclose(T2[:3, 3], -shift, atol=0.05)
+
+
+def test_pair_bucket_overflow_reported():
+    rng = np.random.default_rng(4)
+    cfg = CFG.replace(max_pairs=4, pairs_small=4, pairs_large=2,
+                      min_cluster_size=5)
+    # many mutually-plausible leftovers -> candidate count exceeds bucket
+    clusters = [([3 * i, 0, 0], 30, [0, 0, 0]) for i in range(8)]
+    s, d = build_scene(rng, clusters)
+    # force stage-2 by giving dst different labels
+    p, v, l = d
+    d = (p, v, jnp.where(l >= 0, l + 8, l))
+    res = match_frame_pair(segs(s, cfg), segs(d, cfg), jnp.float32(50.0), cfg)
+    assert int(res.overflow) > 0
