@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_ground", action="store_true")
     p.add_argument("--if_save", action="store_true")
     p.add_argument("--if_verbose", action="store_true")
+    # pairing-mode naming flags (main.py:271-276 reads these only to pick the
+    # save folder; defining them here also fixes the reference's latent
+    # AttributeError on `main.py --if_save`)
+    p.add_argument("--if_adjacent", action="store_true")
+    p.add_argument("--if_temporal", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="with --if_save: skip samples whose flow output "
+                        "already exists (file-level resume)")
+    p.add_argument("--log_jsonl", type=str, default=None,
+                   help="append one JSON line of per-sample metrics to this "
+                        "file (machine-readable run trace)")
     p.add_argument("--max_samples", type=int, default=None,
                    help="process only the first N samples")
     # static-shape bucket overrides (framework-specific)
@@ -106,7 +117,23 @@ def run(args) -> dict:
     start = time.time()
     import jax.numpy as jnp
 
+    def _flow_path(data_path: str) -> str:
+        path = data_path
+        suffix = "_icp_flow" if cfg.use_kiss_icp else "_icp_flow_ego"
+        if args.if_adjacent:
+            suffix += "_adjacent"
+        elif args.if_temporal:
+            suffix += "_temporal"
+        for folder in ("train", "val", "test"):
+            if folder in path:
+                return path.replace(folder, folder + suffix)
+        return path.replace(".npz", suffix + ".npz")
+
     for k in range(n_samples):
+        if args.resume and args.if_save and os.path.exists(
+                _flow_path(ds.seq_paths[k])):
+            print(f"Skipping sample {k} (resume: output exists)")
+            continue
         data, pairs = ds[k]
         ego_poses = data["ego_poses"]
         ti = data["time_indice"]
@@ -151,17 +178,23 @@ def run(args) -> dict:
             time_indice=ti[keep], num_frames=cfg.num_frames)
         print(f"Processed sample {k}/{n_samples}, {data['data_path']}")
 
+        if args.log_jsonl:
+            import json
+            from .metrics import compute_epe as _epe
+            vals = _epe(flow_seq[keep], data["scene_flow"][keep],
+                        np.asarray(ti[keep]) > 0)
+            with open(args.log_jsonl, "a") as f:
+                f.write(json.dumps({
+                    "sample": k, "path": data["data_path"],
+                    "epe3d": round(vals[0], 6), "acc3ds": round(vals[1], 6),
+                    "acc3dr": round(vals[2], 6),
+                    "outlier": round(vals[3], 6),
+                    "n_points": int(keep.sum()),
+                    "elapsed_s": round(time.time() - start, 2),
+                }) + "\n")
+
         if args.if_save:
-            path = data["data_path"]
-            suffix = "_icp_flow" if cfg.use_kiss_icp else "_icp_flow_ego"
-            for folder in ("train", "val", "test"):
-                if folder in path:
-                    path = path.replace(folder, folder + suffix)
-                    break
-            if path == data["data_path"]:
-                # never overwrite the input sample (the reference would
-                # crash here instead, main.py:278)
-                path = path.replace(".npz", suffix + ".npz")
+            path = _flow_path(data["data_path"])
             os.makedirs(os.path.dirname(path), exist_ok=True)
             np.savez_compressed(path, scene_flow=flow_seq,
                                 ego_motion=ego_poses)

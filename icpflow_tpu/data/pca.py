@@ -53,8 +53,11 @@ class DatasetPCA:
             self.seq_paths: List[str] = [root + n for n in names]
         else:
             import glob
+            # fallback glob; exclude our own outputs (flow dumps, pose caches)
             self.seq_paths = sorted(
-                glob.glob(os.path.join(root, "*.npz")))
+                p for p in glob.glob(os.path.join(root, "*.npz"))
+                if "_icp_flow" not in p and "_pose" not in p
+                and not os.path.basename(p).startswith("metrics_"))
 
     def __len__(self):
         return len(self.seq_paths)

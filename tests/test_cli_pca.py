@@ -95,3 +95,29 @@ def test_cli_pca_end_to_end(pca_root, capsys):
     # flow for the moving car must be recovered: overall EPE small
     assert epes["overall_0"] < 0.1, epes["overall_0"]
     assert epes["dynamic_0"] < 0.3, epes["dynamic_0"]
+
+
+def test_cli_pca_multiframe(tmp_path):
+    """num_frames=3: exercises the per-gap translation_frame loop and the
+    (j, 0) pairing of the reference protocol (main.py:184-234)."""
+    root = str(tmp_path)
+    make_pca_npz(os.path.join(root, "seq_000.npz"), num_frames=3)
+    parser = cli.build_parser()
+    args = parser.parse_args([
+        "--dataset", "waymo", "--split", "test", "--root", root,
+        "--num_frames", "3", "--range_x", "32", "--range_y", "32",
+        "--range_z", "0.0", "--ground_slack", "0.3",
+        "--num_clusters", "32", "--min_cluster_size", "20",
+        "--epsilon", "0.4", "--speed", "1.67", "--max_points", "1024",
+    ])
+    cfg = cli.config_from_args(args).replace(
+        max_points_scene=16384, max_pairs=64, pairs_small=64,
+        pairs_large=8, nn_tile=512, hist_grid_xy=128)
+    orig = cli.config_from_args
+    cli.config_from_args = lambda a: cfg
+    try:
+        epes = cli.run(args)
+    finally:
+        cli.config_from_args = orig
+    assert epes["overall_0"] < 0.1
+    assert epes["overall_2"] < 0.15      # per-frame gap-2 metric exists

@@ -32,6 +32,7 @@ def demo_result():
         num_clusters=128,
         max_pairs=128,
         min_cluster_size=8,     # scaled: subsampling to ~25% of points
+        epsilon=0.7,            # scaled for the subsampled density
         nn_tile=1024,
         hist_grid_xy=128,
         icp_max_iters=40,
@@ -50,11 +51,11 @@ def test_epe_reference_quality(demo_result):
     epe_dyn = float(np.linalg.norm((res.flow - gt)[dyn], axis=1).mean())
     print(f"demo subsampled: EPE={epe:.4f} ACC3DS={accs:.4f} "
           f"EPE_dyn={epe_dyn:.4f} pairs={len(res.pairs)}")
-    # reference full-res quality is EPE ~0.011 / dyn ~0.125; the subsampled
-    # CPU run is gated loosely at the same order of magnitude
-    assert epe < 0.06
-    assert epe_dyn < 0.45
-    assert accs > 0.75
+    # full-res on TPU scores EPE 0.0086 / dyn 0.048 (beats the reference's
+    # 0.0114 / 0.125); the subsampled CPU run is gated with slack
+    assert epe < 0.05
+    assert epe_dyn < 0.35
+    assert accs > 0.8
 
 
 def test_outputs_are_well_formed(demo_result):

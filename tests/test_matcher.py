@@ -140,3 +140,28 @@ def test_pair_bucket_overflow_reported():
     d = (p, v, jnp.where(l >= 0, l + 8, l))
     res = match_frame_pair(segs(s, cfg), segs(d, cfg), jnp.float32(50.0), cfg)
     assert int(res.overflow) > 0
+
+
+def test_long_gap_far_mover():
+    # temporal-gap stress (README.md:16 claims usable 0.4 s gaps): a mover
+    # 10 m away needs the centroid pre-shift because the residual histogram
+    # window is far smaller than translation_frame
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-1.5, 1.5, (150, 3)).astype(np.float32)
+    shift = np.array([10.0, -7.0, 0.0], np.float32)
+    n_cap = 4096
+
+    def pad(p, lbl):
+        pp = np.zeros((n_cap, 3), np.float32)
+        pp[: len(p)] = p
+        vv = np.zeros((n_cap,), bool)
+        vv[: len(p)] = True
+        ll = np.full((n_cap,), -1, np.int32)
+        ll[: len(p)] = lbl
+        return jnp.asarray(pp), jnp.asarray(vv), jnp.asarray(ll)
+
+    res = match_frame_pair(segs(pad(pts, 0)), segs(pad(pts + shift, 1)),
+                           jnp.float32(26.7), CFG)
+    assert bool(np.asarray(res.matched)[0])
+    np.testing.assert_allclose(np.asarray(res.transforms)[0, :3, 3],
+                               shift, atol=0.05)
