@@ -113,7 +113,17 @@ def run(args) -> dict:
         n_samples = min(n_samples, args.max_samples)
     print(f"number of test sequences: {len(ds)} (running {n_samples})")
 
+    import json as _json
+    state_path = f"meters_{args.dataset}_{args.split}.json"
+    completed = set()
     meters = make_meters(cfg.num_frames)
+    if args.resume and os.path.exists(state_path):
+        from .metrics import meters_from_state
+        with open(state_path) as f:
+            st = _json.load(f)
+        meters = meters_from_state(st.get("meters", {}), cfg.num_frames)
+        completed = set(st.get("completed", []))
+        print(f"resumed meter state: {len(completed)} samples done")
     start = time.time()
     import jax.numpy as jnp
 
@@ -130,9 +140,8 @@ def run(args) -> dict:
         return path.replace(".npz", suffix + ".npz")
 
     for k in range(n_samples):
-        if args.resume and args.if_save and os.path.exists(
-                _flow_path(ds.seq_paths[k])):
-            print(f"Skipping sample {k} (resume: output exists)")
+        if args.resume and ds.seq_paths[k] in completed:
+            print(f"Skipping sample {k} (resume: already scored)")
             continue
         data, pairs = ds[k]
         ego_poses = data["ego_poses"]
@@ -177,6 +186,12 @@ def run(args) -> dict:
             fb_labels=data["fb_labels"][keep],
             time_indice=ti[keep], num_frames=cfg.num_frames)
         print(f"Processed sample {k}/{n_samples}, {data['data_path']}")
+        if args.resume or args.if_save:
+            from .metrics import meters_to_state
+            completed.add(data["data_path"])
+            with open(state_path, "w") as f:
+                _json.dump({"completed": sorted(completed),
+                            "meters": meters_to_state(meters)}, f)
 
         if args.log_jsonl:
             import json

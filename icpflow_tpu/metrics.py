@@ -87,6 +87,20 @@ def make_meters(num_frames: int) -> Dict[str, AverageMeter]:
             for cat in CATEGORIES for k in range(num_frames + 1)}
 
 
+def meters_to_state(meters: Dict[str, AverageMeter]) -> dict:
+    """JSON-serialisable snapshot of a meter table (for mid-run resume —
+    the reference has no meter checkpointing, SURVEY §5)."""
+    return {name: dataclasses.asdict(m) for name, m in meters.items()}
+
+
+def meters_from_state(state: dict, num_frames: int) -> Dict[str, AverageMeter]:
+    meters = make_meters(num_frames)
+    for name, fields in state.items():
+        if name in meters:
+            meters[name] = AverageMeter(**fields)
+    return meters
+
+
 def crop_for_eval(points, *, range_x, range_y, range_z, ground_slack,
                   eval_ground: bool):
     """Eval crop mask replicating PCAccumulation. Ref utils_eval.py:24-63."""
