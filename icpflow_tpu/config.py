@@ -57,11 +57,13 @@ class PipelineConfig:
     min_cluster_size: int = 30
     epsilon: float = 0.25
     use_hdbscan: bool = False
-    # adaptive (hdbscan-like) clustering: eps grows with sensor range to
-    # track lidar density falloff (see ops/cluster.py). Used when
-    # ``use_hdbscan`` is set, mirroring the reference presets' --if_hdbscan.
-    eps_scale_per_m: float = 0.012
+    # adaptive clustering: eps grows with sensor range to track lidar
+    # density falloff (see ops/cluster.py); opt-in via eps_scale_per_m > 0.
+    eps_scale_per_m: float = 0.0
     eps_max: float = 0.8
+    # hdbscan (use_hdbscan=True -> ops/hdbscan.py hybrid device/native):
+    hdbscan_edges: int = 8        # mutual-reachability kNN edges per point
+    hdbscan_cell: float = 0.8     # candidate voxel size (caps core distance)
 
     # --- histogram translation init (main.py:87-92, utils_hist.py) ---
     speed: float = 1.67

@@ -151,15 +151,19 @@ class DatasetPCA:
             pts_p, valid_p = _pad(both, 2 * cfg.max_points_scene)
             ngp = np.zeros(2 * cfg.max_points_scene, bool)
             ngp[: len(both)] = ng
-            lab = np.asarray(dbscan(
-                jnp.asarray(pts_p), jnp.asarray(valid_p & ngp),
-                eps=cfg.epsilon, min_points=cfg.min_cluster_size,
-                num_clusters=cfg.num_clusters,
-                cell_cap=cfg.cluster_cell_cap,
-                max_iters=cfg.cluster_max_iters,
-                eps_scale_per_m=(cfg.eps_scale_per_m if cfg.use_hdbscan
-                                 else 0.0),
-                eps_max=cfg.eps_max))[: len(both)]
+            if cfg.use_hdbscan:
+                from ..ops.hdbscan import hdbscan as _hdb
+                lab = _hdb(jnp.asarray(pts_p), jnp.asarray(valid_p & ngp),
+                           cfg)[: len(both)]
+            else:
+                lab = np.asarray(dbscan(
+                    jnp.asarray(pts_p), jnp.asarray(valid_p & ngp),
+                    eps=cfg.epsilon, min_points=cfg.min_cluster_size,
+                    num_clusters=cfg.num_clusters,
+                    cell_cap=cfg.cluster_cell_cap,
+                    max_iters=cfg.cluster_max_iters,
+                    eps_scale_per_m=cfg.eps_scale_per_m,
+                    eps_max=cfg.eps_max))[: len(both)]
             lab = lab.astype(np.int64)
             lab[~ng] = GROUND_LABEL
             out.append({

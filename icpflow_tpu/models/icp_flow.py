@@ -76,13 +76,18 @@ class SceneFlowEngine:
         cfg = self.cfg
         pts = jnp.concatenate([pts_dst, pts_src_ego], axis=0)
         valid = jnp.concatenate([valid_dst, valid_src], axis=0)
-        labels = _cluster.dbscan(
-            pts, valid,
-            eps=cfg.epsilon, min_points=cfg.min_cluster_size,
-            num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
-            max_iters=cfg.cluster_max_iters,
-            eps_scale_per_m=cfg.eps_scale_per_m if cfg.use_hdbscan else 0.0,
-            eps_max=cfg.eps_max)
+        if cfg.use_hdbscan:
+            from ..ops.hdbscan import hdbscan
+            labels = jnp.asarray(hdbscan(pts, valid, cfg))
+        else:
+            labels = _cluster.dbscan(
+                pts, valid,
+                eps=cfg.epsilon, min_points=cfg.min_cluster_size,
+                num_clusters=cfg.num_clusters,
+                cell_cap=cfg.cluster_cell_cap,
+                max_iters=cfg.cluster_max_iters,
+                eps_scale_per_m=cfg.eps_scale_per_m,
+                eps_max=cfg.eps_max)
         n0 = pts_dst.shape[0]
         return labels[:n0], labels[n0:]
 

@@ -207,3 +207,124 @@ def dbscan(
     # --- back to original point order ------------------------------------
     out = jnp.full((n,), -1, jnp.int32).at[order].set(final_s)
     return jnp.where(valid, out, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_core", "edges_per_point", "cell_size", "cell_cap",
+                     "tile"),
+)
+def mutual_reachability_edges(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k_core: int = 15,
+    edges_per_point: int = 8,
+    cell_size: float = 0.8,
+    cell_cap: int = 64,
+    tile: int = 2048,
+):
+    """Device half of HDBSCAN: k-core distances + lightest mutual-reach edges.
+
+    HDBSCAN's density model (the reference's primary clusterer,
+    `utils_cluster.py:10-29`): core distance d_k(p) = distance to the k-th
+    neighbor; mutual reachability w(p,q) = max(d_k(p), d_k(q), d(p,q)).
+    This kernel voxel-hashes candidates (27-cell neighborhoods, capped per
+    cell), computes d_k per point, and emits each point's ``edges_per_point``
+    lightest mutual-reachability edges — a kNN-graph whose MST approximates
+    the full-graph MST. Candidates beyond the neighborhood cap d_k at
+    1.5 * cell_size (sparse points become high-lambda noise, as in hdbscan).
+
+    The sequential half (MST -> condensed tree -> excess-of-mass selection)
+    runs in native C++ (native/npz_reader.cc: ifh_hdbscan_labels).
+
+    Returns: core_dist (N,), edge_dst (N, E) int32 (N = no edge),
+             edge_w (N, E) float32.
+    """
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    xyz = xyz.astype(f32)
+    valid = valid.astype(bool)
+    cap_dist = jnp.asarray(1.5 * cell_size, f32)
+
+    cell = jnp.floor(xyz / cell_size).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(valid[:, None], cell, 2 ** 20), axis=0)
+    cmax = jnp.max(jnp.where(valid[:, None], cell, -(2 ** 20)), axis=0)
+    span = jnp.maximum(cmax - cmin + 3, 1)
+    cc = cell - cmin + 1
+
+    def cell_id(c3):
+        return (c3[..., 0] * span[1] + c3[..., 1]) * span[2] + c3[..., 2]
+
+    ids = jnp.where(valid, cell_id(cc), jnp.int32(2 ** 30))
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    xyz_s = xyz[order]
+    valid_s = valid[order]
+
+    pad_tile = (-n) % tile
+    nt = (n + pad_tile) // tile
+    n_off = len(_OFFSETS)
+
+    def tile_pass(t):
+        rows = t * tile + jnp.arange(tile)
+        rows_c = jnp.minimum(rows, n - 1)
+        p = xyz_s[rows_c]
+        pc = cc[order[rows_c]]
+        row_ok = (rows < n) & valid_s[rows_c]
+
+        pos_l, ok_l = [], []
+        for off in _OFFSETS:
+            qid = cell_id(pc + jnp.array(off, jnp.int32))
+            start = jnp.searchsorted(ids_s, qid)
+            kk = jnp.arange(cell_cap)
+            pos = start[:, None] + kk[None, :]
+            pos_c = jnp.minimum(pos, n - 1)
+            same = (ids_s[pos_c] == qid[:, None]) & (pos < n)
+            pos_l.append(pos_c)
+            ok_l.append(same)
+        pos = jnp.concatenate(pos_l, axis=1)                 # (T, 27K)
+        ok = jnp.concatenate(ok_l, axis=1)
+        q = xyz_s[pos]
+        d = jnp.sqrt(jnp.sum((q - p[:, None, :]) ** 2, axis=-1))
+        is_self = pos == rows_c[:, None]
+        usable = ok & valid_s[pos] & row_ok[:, None] & ~is_self
+        d = jnp.where(usable, d, 1e9)
+        d_sorted = jnp.sort(d, axis=1)
+        core = jnp.minimum(d_sorted[:, k_core - 1], cap_dist)
+        return core, pos, d
+
+    # pass 1: core distances (sorted layout)
+    core_tiles = jax.lax.map(lambda t: tile_pass(t)[0], jnp.arange(nt))
+    core_s = core_tiles.reshape(-1)[:n]
+    core_s = jnp.where(valid_s, core_s, 1e9)
+
+    # pass 2: mutual-reachability edges using the full core vector
+    def edge_pass(t):
+        _, pos, d = tile_pass(t)
+        rows = t * tile + jnp.arange(tile)
+        rows_c = jnp.minimum(rows, n - 1)
+        w = jnp.maximum(d, jnp.maximum(core_s[rows_c][:, None],
+                                       core_s[pos]))
+        w = jnp.where(d < 1e8, w, 1e9)
+        order_e = jnp.argsort(w, axis=1)[:, :edges_per_point]
+        ew = jnp.take_along_axis(w, order_e, axis=1)
+        ep = jnp.take_along_axis(pos, order_e, axis=1)
+        ep = jnp.where(ew < 1e8, ep, n)
+        return ep, ew
+
+    ep_t, ew_t = jax.lax.map(edge_pass, jnp.arange(nt))
+    edge_dst_s = ep_t.reshape(-1, ep_t.shape[-1])[:n]
+    edge_w_s = ew_t.reshape(-1, ew_t.shape[-1])[:n]
+
+    # back to original order (edges reference sorted positions -> remap)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    orig_of_sorted = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)])
+    core_dist = jnp.full((n,), 1e9, f32).at[order].set(core_s)
+    edge_dst = jnp.full((n, edge_dst_s.shape[1]), n, jnp.int32)
+    edge_dst = edge_dst.at[order].set(
+        orig_of_sorted[jnp.minimum(edge_dst_s, n)])
+    edge_w = jnp.full((n, edge_w_s.shape[1]), 1e9, f32).at[order].set(edge_w_s)
+    return core_dist, edge_dst, edge_w
