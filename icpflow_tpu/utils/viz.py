@@ -89,3 +89,22 @@ def debug_frame(result: dict, prefix: str = "/tmp/icpflow_debug"):
     with open(prefix + "_segments.txt", "w") as f:
         f.write(report + "\n")
     return report
+
+
+def trackers_to_labels(label_src, label_dst, pairs):
+    """Re-label matched clusters so corresponding instances share track ids.
+
+    Ref `utils_helper.py:49-74` (trackers2labels): ground stays, unmatched
+    clustered points become -1, matched pairs get their pair index as the
+    shared track id (first occurrence wins for many-to-one dst labels).
+    """
+    label_src = np.asarray(label_src).copy()
+    label_dst = np.asarray(label_dst).copy()
+    out_src = np.where(label_src >= 0, -1, label_src)
+    out_dst = np.where(label_dst >= 0, -1, label_dst)
+    pairs = np.asarray(pairs)
+    for k, pair in enumerate(pairs):
+        out_src[label_src == int(pair[0])] = k
+        first = np.flatnonzero(pairs[:, 1] == pair[1])
+        out_dst[label_dst == int(pair[1])] = int(first[0])
+    return out_src, out_dst
