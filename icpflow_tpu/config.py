@@ -147,14 +147,16 @@ NUSCENES = PipelineConfig(
     thres_box=0.1, thres_rot=0.1, thres_error=0.2, thres_iou=0.2,
 )
 
-# argo/demo: epsilon 0.6 with plain DBSCAN validated on the demo fixture
-# (beats both the reference's hdbscan result and our adaptive mode; see
-# bench.py / docs/ARCHITECTURE.md). waymo/nuscene keep the reference's
-# hdbscan-style preset (adaptive mode) pending real-data validation.
+# argo/demo: range-adaptive DBSCAN with base eps 0.6 (+0.012/m, cap 0.8)
+# validated on the demo fixture: EPE 0.0086 / ACC3DS 0.945-0.952, beating
+# the reference's shipped hdbscan result. The real HDBSCAN path
+# (use_hdbscan=True) scores equivalently and is the default for
+# waymo/nuscene where the reference relies on variable density.
 ARGO = PipelineConfig(
     dataset="argo", num_frames=2, range_x=10000.0, range_y=10000.0,
     range_z=-10000.0, ground_slack=0.0, use_hdbscan=False, num_clusters=200,
-    min_cluster_size=20, epsilon=0.6, speed=1.67, thres_dist=0.1,
+    min_cluster_size=20, epsilon=0.6, eps_scale_per_m=0.012, eps_max=0.8,
+    speed=1.67, thres_dist=0.1,
     max_points=10000, thres_box=0.1, thres_rot=0.1, thres_error=0.2,
     thres_iou=0.2,
 )

@@ -95,12 +95,13 @@ def estimate_init_translation(
         jnp.sum(wsrc, 1), 1e-9)[:, None]
     c_dst = jnp.sum(dst * wdst[:, :, None], 1) / jnp.maximum(
         jnp.sum(wdst, 1), 1e-9)[:, None]
-    # bin-rounded centroid pre-shift (xy only; reference searches z in a fixed
-    # +-thres_dist band, utils_hist.py:65)
+    # bin-rounded centroid pre-shift on ALL axes. The reference searches z
+    # in a fixed +-thres_dist band around zero (utils_hist.py:65), which
+    # silently loses movers whose vertical displacement exceeds one bin
+    # (long gaps, sloped roads); centering the band on the centroid shift
+    # keeps the residual within a bin without widening the search.
     dc = c_dst - c_src
-    dc_bins = jnp.round(dc[:, :2] / bin_w)
-    dc_shift = jnp.concatenate(
-        [dc_bins * bin_w, jnp.zeros((b, 1), f32)], axis=1)       # (B,3)
+    dc_shift = jnp.round(dc / bin_w) * bin_w                     # (B,3)
 
     src_shifted = src + dc_shift[:, None, :]
     origin = c_dst  # common wrap origin keeps voxel coords small
