@@ -89,6 +89,12 @@ class PipelineConfig:
     # vehicles do not move vertically, and degenerate ICP solutions sliding
     # along walls/poles show up as z drift. <=0 disables.
     thres_z: float = 0.3
+    # identity preference margin (framework extension, metres of NN error):
+    # a matched transform is replaced by identity when the identity transform
+    # matches the pair within this margin — self-similar geometry (walls,
+    # rails) lets ICP slide to a marginally-lower NN error while the true
+    # motion is zero. <=0 disables.
+    identity_margin: float = 0.02
 
     # --- static shape buckets (TPU: shapes must be compile-time constants) ---
     max_points_scene: int = 131072   # padded full-cloud size per frame

@@ -121,6 +121,24 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
               & pair_valid[:, None])
 
     T = hist_icp(s_xyz, s_mask, d_xyz, d_mask, translation_frame, cfg)
+    if cfg.identity_margin > 0:
+        # identity preference: self-similar geometry lets ICP slide to a
+        # marginally better NN error while the true motion is zero; when
+        # identity fits within the margin, it wins (see config.identity_margin)
+        err_f_id = _knn.masked_nn_error(s_xyz, s_mask, d_xyz, d_mask,
+                                        tile=cfg.nn_tile)
+        err_b_id = _knn.masked_nn_error(d_xyz, d_mask, s_xyz, s_mask,
+                                        tile=cfg.nn_tile)
+        err_id = jnp.minimum(err_f_id, err_b_id)
+        moved = geo.transform_points_batch(s_xyz, T)
+        err_f_T = _knn.masked_nn_error(moved, s_mask, d_xyz, d_mask,
+                                       tile=cfg.nn_tile)
+        err_b_T = _knn.masked_nn_error(d_xyz, d_mask, moved, s_mask,
+                                       tile=cfg.nn_tile)
+        err_T = jnp.minimum(err_f_T, err_b_T)
+        prefer_id = err_id <= err_T + cfg.identity_margin
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=T.dtype), T.shape)
+        T = jnp.where(prefer_id[:, None, None], eye, T)
     stats, translation, rotation = match_eval(
         s_xyz, s_mask, d_xyz, d_mask, T, cfg)
     accept = gates.check_transformation(
