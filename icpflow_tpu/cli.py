@@ -208,6 +208,18 @@ def run(args) -> dict:
                     "elapsed_s": round(time.time() - start, 2),
                 }) + "\n")
 
+        if args.if_verbose:
+            # per-frame debug dump (reference --if_verbose, main.py:241-256)
+            from .utils.viz import debug_frame
+            j_last = cfg.num_frames - 1
+            sel = ti == j_last
+            debug_frame({
+                "src": data["raw_points"][sel, :3],
+                "src_label": pairs[j_last - 1]["label_src"],
+                "flow": flow_seq[sel],
+                "scene_flow": data["scene_flow"][sel],
+            }, prefix=f"/tmp/icpflow_cli_sample{k}")
+
         if args.if_save:
             path = _flow_path(data["data_path"])
             os.makedirs(os.path.dirname(path), exist_ok=True)
