@@ -15,7 +15,6 @@ the call — never mutable global state.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 def _next_fft_size(n: int) -> int:

@@ -17,7 +17,7 @@ the same per-sample ``*_pose`` npz caching (`dataset_pca.py:115-135`).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 import jax.numpy as jnp

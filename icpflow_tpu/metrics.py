@@ -11,7 +11,7 @@ maps 1:1 onto a psum of (value*num, num) pairs).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

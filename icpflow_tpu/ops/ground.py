@@ -22,7 +22,6 @@ Reflected-noise removal (RNR) is omitted — the reference disables it
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ metric vector — the distributed form of the reference's AverageMeter
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

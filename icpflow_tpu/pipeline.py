@@ -12,7 +12,6 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .config import PipelineConfig
 from .models.icp_flow import SceneFlowEngine, TrackOutput
 
 

@@ -15,8 +15,6 @@ import argparse
 import re
 from typing import Dict, List
 
-import numpy as np
-
 _LINE = re.compile(
     r"^\s*(?P<name>[a-z_]+_\d+)\s+EPE3D:\s*(?P<epe>[\d.]+)\s+"
     r"ACC3DS:\s*(?P<accs>[\d.]+)\s+ACC3DR:\s*(?P<accr>[\d.]+)\s+"

@@ -57,3 +57,16 @@ def test_trackers_to_labels():
     ts, td = trackers_to_labels(ls, ld, pairs)
     np.testing.assert_array_equal(ts, [0, 0, -1, 1, -1, -100000000])
     np.testing.assert_array_equal(td, [0, 0, 1, -1])
+
+
+def test_bitwise_determinism():
+    """Two identical runs produce bitwise-identical flow: no RNG, stable
+    sorts, order-independent reductions (SURVEY §5 determinism goals)."""
+    rng = np.random.default_rng(11)
+    src = rng.uniform(-5, 5, (800, 3)).astype(np.float32)
+    dst = (src + np.array([0.8, -0.2, 0.0], np.float32)
+           + rng.normal(scale=0.01, size=src.shape).astype(np.float32))
+    r1 = run(src, dst)
+    r2 = run(src, dst)
+    np.testing.assert_array_equal(r1.flow, r2.flow)
+    np.testing.assert_array_equal(r1.labels_src, r2.labels_src)
