@@ -76,3 +76,38 @@ def test_empty_pair_is_finite():
     T = estimate_init_translation(z, m, z, m, jnp.float32(4.0),
                                   lxy=64, lz=8, eval_tile=64)
     assert np.isfinite(np.asarray(T)).all()
+
+
+def test_wall_larger_than_wrap_period():
+    """A structure larger than the wrap period (L*bin = 12.8 m at lxy=128):
+    wrapped self-structure aliases into background noise but the true shift
+    must still win (module docstring claim)."""
+    rng = np.random.default_rng(3)
+    n = 3000
+    wall = np.stack([
+        rng.uniform(-20, 20, n),            # 40 m long >> wrap period
+        rng.normal(scale=0.05, size=n),
+        rng.uniform(-1, 2, n)], 1).astype(np.float32)
+    shift = (1.3, 0.4, 0.0)
+    pa, ma = pad(wall, 4096)
+    pb, mb = pad(wall + np.asarray(shift, np.float32), 4096)
+    T = estimate_init_translation(
+        jnp.asarray(pa)[None], jnp.asarray(ma)[None],
+        jnp.asarray(pb)[None], jnp.asarray(mb)[None],
+        jnp.float32(4.0), lxy=128, lz=8, eval_tile=256)
+    np.testing.assert_allclose(np.asarray(T)[0, :3, 3], shift, atol=0.15)
+
+
+def test_vertical_shift_beyond_reference_band():
+    """dz beyond the reference's fixed +-0.1 m z band: the all-axes centroid
+    pre-shift must still recover it (long-gap fix)."""
+    rng = np.random.default_rng(4)
+    a, b = make_pair(rng, 400, (2.0, -1.0, 0.45), noise=0.01)
+    pa, ma = pad(a, 512)
+    pb, mb = pad(b, 512)
+    T = estimate_init_translation(
+        jnp.asarray(pa)[None], jnp.asarray(ma)[None],
+        jnp.asarray(pb)[None], jnp.asarray(mb)[None],
+        jnp.float32(8.0), lxy=128, lz=8, eval_tile=128)
+    np.testing.assert_allclose(np.asarray(T)[0, :3, 3], (2.0, -1.0, 0.45),
+                               atol=0.15)
