@@ -167,6 +167,10 @@ def run(args) -> dict:
                 jnp.asarray(raw_src), jnp.asarray(lab_src.astype(np.int32)),
                 out.result.transforms,
                 jnp.asarray(ego_poses[j].astype(np.float32))))
+            if int(out.result.overflow) > 0:
+                print(f"  WARNING: {int(out.result.overflow)} candidate "
+                      f"pairs beyond the pair buckets were dropped "
+                      f"(raise --max_pairs / pairs_small)")
             flows.append(flow)
 
         flow_seq = np.concatenate(flows)

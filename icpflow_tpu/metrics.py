@@ -171,3 +171,25 @@ def report(meters: Dict[str, AverageMeter], num_frames: int) -> str:
                 f"ACC3DS: {m.accs_avg:.6f}  ACC3DR: {m.accr_avg:.6f}  "
                 f"Outlier: {m.outlier_avg:.6f}  Routlier: {m.routlier_avg:.6f}")
     return "\n".join(lines)
+
+
+def compute_epe_sums_jnp(flow_pred, flow_gt, weights):
+    """Device-side (6,) metric sums [num, epe, accs, accr, outlier, routlier].
+
+    The jnp form of `compute_epe` for on-device accumulation and cross-host
+    ``psum`` (`utils_eval.py:137-182` definitions); merge into host meters
+    with ``AverageMeter.merge_sums``.
+    """
+    import jax.numpy as jnp
+
+    w = weights.astype(flow_pred.dtype)
+    err = jnp.linalg.norm(flow_gt - flow_pred, axis=-1)
+    sf = jnp.linalg.norm(flow_gt, axis=-1)
+    rel = err / (sf + 1e-20)
+    accs = ((err < 0.05) | (rel < 0.05)).astype(w.dtype)
+    accr = ((err < 0.1) | (rel < 0.1)).astype(w.dtype)
+    outl = ((err > 0.3) | (rel > 0.1)).astype(w.dtype)
+    routl = ((err > 0.3) & (rel > 0.3)).astype(w.dtype)
+    return jnp.stack([
+        jnp.sum(w), jnp.sum(err * w), jnp.sum(accs * w),
+        jnp.sum(accr * w), jnp.sum(outl * w), jnp.sum(routl * w)])

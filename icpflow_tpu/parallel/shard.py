@@ -34,10 +34,8 @@ def _frame_pair_step(pts_src, valid_src, labels_src,
                               cp_axis=cp_axis, cp_size=cp_size)
     flow = flow_from_transforms(pts_src, labels_src, result.transforms,
                                 jnp.eye(4, dtype=pts_src.dtype))
-    # per-point EPE sums (masked by cloud validity)
-    err = jnp.linalg.norm(flow - gt_flow, axis=-1)
-    w = valid_src.astype(err.dtype)
-    sums = jnp.stack([jnp.sum(w), jnp.sum(err * w)])
+    from ..metrics import compute_epe_sums_jnp
+    sums = compute_epe_sums_jnp(flow, gt_flow, valid_src)
     return flow, result.transforms, sums
 
 

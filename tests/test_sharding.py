@@ -72,10 +72,11 @@ def test_sharded_step_matches_single_device(n_dp, n_cp):
         np.testing.assert_allclose(flow[i], np.asarray(f1),
                                    rtol=1e-4, atol=1e-4)
 
-    # metric sums: total valid points and finite epe sum
+    # metric sums: [num, epe, accs, accr, outlier, routlier]
     sums = np.asarray(sums)
+    assert sums.shape == (6,)
     assert sums[0] == n_dp * 500
-    assert np.isfinite(sums[1])
+    assert np.isfinite(sums).all()
 
 
 def test_sharded_step_recovers_motion():
