@@ -9,7 +9,8 @@ fixed-shape segment batches and compiled end-to-end with XLA.
 
 from .config import PipelineConfig, PRESETS, WAYMO, NUSCENES, ARGO, DEMO
 from .models.icp_flow import SceneFlowEngine
+from .models.streaming import StreamingEngine
 
 __version__ = "0.1.0"
 __all__ = ["PipelineConfig", "PRESETS", "WAYMO", "NUSCENES", "ARGO", "DEMO",
-           "SceneFlowEngine"]
+           "SceneFlowEngine", "StreamingEngine"]

@@ -17,21 +17,6 @@ from __future__ import annotations
 import dataclasses
 
 
-def _next_fft_size(n: int) -> int:
-    """Smallest 5-smooth (2,3,5 factors) integer >= n; FFT-friendly on XLA."""
-    best = 1 << (n - 1).bit_length()
-    m = n
-    while m <= best:
-        k = m
-        for p in (2, 3, 5):
-            while k % p == 0:
-                k //= p
-        if k == 1:
-            return m
-        m += 1
-    return best
-
-
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     """Static configuration of the scene-flow engine.

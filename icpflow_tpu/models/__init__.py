@@ -1,1 +1,2 @@
 from .icp_flow import SceneFlowEngine  # noqa: F401
+from .streaming import StreamingEngine  # noqa: F401
