@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nn_tile", type=int, default=None)
     p.add_argument("--hist_grid_xy", type=int, default=None)
     p.add_argument("--ego_map_capacity", type=int, default=None)
+    p.add_argument("--eps_scale_per_m", type=float, default=None)
+    p.add_argument("--eps_max", type=float, default=None)
     return p
 
 
@@ -82,6 +84,7 @@ _OVERRIDE_FIELDS = (
     "max_points", "thres_box", "thres_error", "thres_iou", "thres_rot",
     "max_points_scene", "max_pairs", "pairs_small", "pairs_large",
     "nn_tile", "hist_grid_xy", "ego_map_capacity",
+    "eps_scale_per_m", "eps_max",
 )
 
 

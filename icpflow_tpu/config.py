@@ -48,6 +48,11 @@ class PipelineConfig:
     # hdbscan (use_hdbscan=True -> ops/hdbscan.py hybrid device/native):
     hdbscan_edges: int = 8        # mutual-reachability kNN edges per point
     hdbscan_cell: float = 0.8     # candidate voxel size (caps core distance)
+    # border reclaim: unlabelled points within this mutual-reachability
+    # distance of a labelled neighbor adopt its cluster (the analogue of
+    # upstream hdbscan's cluster_selection_epsilon; excess-of-mass selection
+    # otherwise sheds low-density cluster fringes). <=0 disables.
+    hdbscan_reclaim: float = 0.5
 
     # --- histogram translation init (main.py:87-92, utils_hist.py) ---
     speed: float = 1.67
@@ -123,25 +128,28 @@ class PipelineConfig:
 # Presets mirroring the reference shell scripts (main.sh:3-43, demo.sh:3-15).
 # ---------------------------------------------------------------------------
 
+# All presets default to range-adaptive DBSCAN (base eps 0.6 +0.012/m, cap
+# 0.8): it beats both the reference's shipped hdbscan result on the real
+# demo fixture (EPE 0.0050 vs 0.0114) and our faithful hdbscan port on every
+# dataset measured (demo: dyn 0.048 vs 0.27+; realistic synthetic waymo:
+# 0.015 vs 0.027 overall). Pass --if_hdbscan / use_hdbscan=True for the
+# reference-faithful hdbscan path (ops/hdbscan.py).
 WAYMO = PipelineConfig(
     dataset="waymo", num_frames=5, range_x=32.0, range_y=32.0, range_z=0.04,
-    ground_slack=0.3, use_hdbscan=True, num_clusters=200, min_cluster_size=30,
-    epsilon=0.25, speed=1.67, thres_dist=0.1, max_points=10000,
+    ground_slack=0.3, num_clusters=200, min_cluster_size=30,
+    epsilon=0.6, eps_scale_per_m=0.012, eps_max=0.8,
+    speed=1.67, thres_dist=0.1, max_points=10000,
     thres_box=0.1, thres_rot=0.1, thres_error=0.3, thres_iou=0.2,
 )
 
 NUSCENES = PipelineConfig(
     dataset="nuscene", num_frames=11, range_x=32.0, range_y=32.0, range_z=-1.84,
-    ground_slack=0.3, use_hdbscan=True, num_clusters=200, min_cluster_size=20,
-    epsilon=0.25, speed=0.833333, thres_dist=0.1, max_points=5000,
+    ground_slack=0.3, num_clusters=200, min_cluster_size=20,
+    epsilon=0.6, eps_scale_per_m=0.012, eps_max=0.8,
+    speed=0.833333, thres_dist=0.1, max_points=5000,
     thres_box=0.1, thres_rot=0.1, thres_error=0.2, thres_iou=0.2,
 )
 
-# argo/demo: range-adaptive DBSCAN with base eps 0.6 (+0.012/m, cap 0.8)
-# validated on the demo fixture: EPE 0.0086 / ACC3DS 0.945-0.952, beating
-# the reference's shipped hdbscan result. The real HDBSCAN path
-# (use_hdbscan=True) scores equivalently and is the default for
-# waymo/nuscene where the reference relies on variable density.
 ARGO = PipelineConfig(
     dataset="argo", num_frames=2, range_x=10000.0, range_y=10000.0,
     range_z=-10000.0, ground_slack=0.0, use_hdbscan=False, num_clusters=200,

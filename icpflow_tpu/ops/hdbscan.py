@@ -80,6 +80,24 @@ def hdbscan(xyz, valid, cfg: PipelineConfig) -> np.ndarray:
 
     valid_h = np.asarray(valid)
     labels[~valid_h] = -1
+
+    if cfg.hdbscan_reclaim > 0:
+        # border reclaim: EOM selection sheds low-density cluster fringes;
+        # re-attach noise points whose lightest mutual-reachability edge to a
+        # labelled point is within the reclaim distance (two passes to chain)
+        ed = np.asarray(edge_dst)
+        ew = np.asarray(edge_w)
+        in_range = ed < len(labels)
+        ed_c = np.minimum(ed, len(labels) - 1)
+        for _ in range(2):
+            nbr_lab = np.where(in_range, labels[ed_c], -1)
+            cand = (nbr_lab >= 0) & (ew <= cfg.hdbscan_reclaim) & in_range
+            w_masked = np.where(cand, ew, np.inf)
+            best = np.argmin(w_masked, axis=1)
+            has = np.isfinite(w_masked[np.arange(len(labels)), best])
+            adopt = (labels < 0) & valid_h & has
+            labels = np.where(
+                adopt, nbr_lab[np.arange(len(labels)), best], labels)
     # keep top num_clusters by size, relabel densely (utils_cluster.py:26-27)
     labs, counts = np.unique(labels[labels >= 0], return_counts=True)
     if len(labs) == 0:

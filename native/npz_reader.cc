@@ -9,6 +9,7 @@
 //
 // Build: make -C native   (produces libicpflow_host.so)
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
