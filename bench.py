@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from icpflow_tpu import SceneFlowEngine, DEMO
 from icpflow_tpu.data.demo import load_demo_npz
-from icpflow_tpu.metrics import compute_epe
 
 BASELINE_PAIRS_PER_SEC = 1.0
 DEMO_PATH = "/root/reference/demo.npz"
@@ -53,9 +52,13 @@ def main():
     t0 = time.time()
     p_src, v_src = engine.pad_cloud(data["point_src"])
     p_dst, v_dst = engine.pad_cloud(data["point_dst"])
+    gt = data["scene_flow"]
+    gt_pad = np.zeros((cfg.max_points_scene, 3), np.float32)
+    gt_pad[: len(gt)] = gt
     jps, jvs = jnp.asarray(p_src), jnp.asarray(v_src)
     jpd, jvd = jnp.asarray(p_dst), jnp.asarray(v_dst)
-    jax.block_until_ready((jps, jpd))
+    jgt = jnp.asarray(gt_pad)
+    jax.block_until_ready((jps, jpd, jgt))
     host_io_in = time.time() - t0
 
     def device_pipeline():
@@ -78,30 +81,37 @@ def main():
     dt = (time.time() - t0) / iters
     pairs_per_sec = 1.0 / dt
 
-    t0 = time.time()
-    flow_h = np.asarray(flow)[: len(data["point_src"])]
-    host_io_out = time.time() - t0
+    # metrics computed ON DEVICE: a single MB-scale fetch through the
+    # tunnelled chip can take minutes, so only scalars cross the host boundary
+    def device_metrics(flow_dev, gt_dev):
+        err = jnp.linalg.norm(flow_dev - gt_dev, axis=-1)
+        w = jvs.astype(err.dtype)
+        sf = jnp.linalg.norm(gt_dev, axis=-1)
+        rel = err / (sf + 1e-20)
+        dyn_w = w * (sf > 0.05)
+        accs_pt = ((err < 0.05) | (rel < 0.05)).astype(err.dtype)
+        return jnp.stack([
+            jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1),
+            jnp.sum(err * dyn_w) / jnp.maximum(jnp.sum(dyn_w), 1),
+            jnp.sum(accs_pt * w) / jnp.maximum(jnp.sum(w), 1)])
 
-    gt = data["scene_flow"]
-    epe, accs, accr, outlier, routlier = compute_epe(flow_h, gt)
-    dyn = np.linalg.norm(gt, axis=1) > 0.05
-    epe_dyn = float(np.linalg.norm((flow_h - gt)[dyn], axis=1).mean())
+    t0 = time.time()
+    m = np.asarray(device_metrics(flow, jgt))
+    host_io_out = time.time() - t0
+    epe, epe_dyn, accs = float(m[0]), float(m[1]), float(m[2])
     n_matched = int(np.asarray(out.result.matched).sum())
 
     # long-temporal-gap stress (0.4 s equivalent): movers displaced 4x.
     # The reference's histogram grid grows O(gap^2) here; ours is constant
     # (centroid pre-shift), so only accuracy is at stake.
-    gt4 = 4.0 * gt
-    dst4 = data["point_src"] + gt4
-    p_d4, v_d4 = engine.pad_cloud(dst4)
-    jp4, jv4 = jnp.asarray(p_d4), jnp.asarray(v_d4)
-    lab_d4, lab_s4 = engine.cluster_joint(jp4, jv4, jps, jvs)
-    out4 = engine.track_pair(jps, jvs, lab_s4, jp4, jv4, lab_d4, 8.0)
-    flow4 = np.asarray(engine.flow(jps, lab_s4, out4.result.transforms,
-                                   np.eye(4, dtype=np.float32)))
-    flow4 = flow4[: len(data["point_src"])]
-    dyn4 = np.linalg.norm(gt4, axis=1) > 0.05
-    epe_gap4_dyn = float(np.linalg.norm((flow4 - gt4)[dyn4], axis=1).mean())
+    jgt4 = 4.0 * jgt
+    jp4 = jps + jgt4
+    lab_d4, lab_s4 = engine.cluster_joint(jp4, jvs, jps, jvs)
+    out4 = engine.track_pair(jps, jvs, lab_s4, jp4, jvs, lab_d4, 8.0)
+    flow4 = engine.flow(jps, lab_s4, out4.result.transforms,
+                        np.eye(4, dtype=np.float32))
+    m4 = np.asarray(device_metrics(flow4, jgt4))
+    epe_gap4_dyn = float(m4[1])
 
     print(json.dumps({
         "metric": "scan_pairs_per_sec",
