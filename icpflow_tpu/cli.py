@@ -166,10 +166,17 @@ def run(args) -> dict:
             raw_src = data["raw_points"][ti == j, :3].astype(np.float32)
             lab_src = np.full(len(raw_src), -1, np.int64)
             lab_src[: len(pair["label_src"])] = pair["label_src"]
-            flow = np.asarray(flow_from_transforms(
-                jnp.asarray(raw_src), jnp.asarray(lab_src.astype(np.int32)),
+            # note: identity_pt/seg_pidx index the PADDED ego-aligned cloud,
+            # which shares its prefix ordering with raw_src
+            from .flow import flow_with_identity_override
+            npad = p_src.shape[0]
+            raw_pad = np.zeros((npad, 3), np.float32)
+            raw_pad[: len(raw_src)] = raw_src
+            flow = np.asarray(flow_with_identity_override(
+                jnp.asarray(raw_pad), jnp.asarray(l_src).astype(jnp.int32),
                 out.result.transforms,
-                jnp.asarray(ego_poses[j].astype(np.float32))))
+                jnp.asarray(ego_poses[j].astype(np.float32)),
+                out.seg_src.pidx, out.result.identity_pt))[: len(raw_src)]
             if int(out.result.overflow) > 0:
                 print(f"  WARNING: {int(out.result.overflow)} candidate "
                       f"pairs beyond the pair buckets were dropped "

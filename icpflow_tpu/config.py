@@ -78,6 +78,14 @@ class PipelineConfig:
     # vehicles do not move vertically, and degenerate ICP solutions sliding
     # along walls/poles show up as z drift. <=0 disables.
     thres_z: float = 0.3
+    # per-point identity refinement (framework extension): inside an accepted
+    # moving match, points whose identity-NN distance is an inlier while
+    # their transformed-NN distance is a clear outlier are static stowaways
+    # of an under-segmented cluster; their flow reverts to ego-only.
+    # Default off: on the demo fixture it trades +0.0000 static for
+    # -0.005 dynamic (occluded mover points near static structure are
+    # false positives). Useful on scenes with heavy under-segmentation.
+    per_point_identity: bool = False
     # identity preference margin (framework extension, metres of NN error):
     # a matched transform is replaced by identity when the identity transform
     # matches the pair within this margin — self-similar geometry (walls,

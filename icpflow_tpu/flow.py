@@ -39,3 +39,30 @@ def flow_from_transforms(
     moved = jnp.einsum("nij,nj->ni", T_full[:, :3, :3], points) \
         + T_full[:, :3, 3]
     return moved - points
+
+
+@functools.partial(jax.jit, static_argnames=())
+def flow_with_identity_override(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    transforms: jnp.ndarray,
+    pose: jnp.ndarray,
+    seg_pidx: jnp.ndarray,
+    identity_pt: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-point flow with the matcher's ego-only overrides applied.
+
+    ``identity_pt`` (L, P) flags static stowaways inside accepted moving
+    clusters (see config.per_point_identity); their flow reverts to the
+    ego-pose-only component. ``seg_pidx`` maps segment slots back to raw
+    point indices.
+    """
+    flow = flow_from_transforms(points, labels, transforms, pose)
+    ego_moved = jnp.einsum("ij,nj->ni", pose[:3, :3], points) + pose[:3, 3]
+    ego_flow = ego_moved - points
+    n = points.shape[0]
+    flat_idx = seg_pidx.reshape(-1)
+    flat_flag = identity_pt.reshape(-1)
+    tgt = jnp.where(flat_flag, flat_idx, n)              # OOB -> dropped
+    return flow.at[tgt].set(ego_flow[jnp.minimum(flat_idx, n - 1)],
+                            mode="drop")

@@ -50,6 +50,8 @@ class MatchResult(NamedTuple):
     transforms: jnp.ndarray   # (L,4,4)
     stats: jnp.ndarray        # (L,8)
     overflow: jnp.ndarray     # () int32: stage-2 candidates beyond the bucket
+    identity_pt: jnp.ndarray  # (L,P) bool: per-point ego-only override
+                              # (static stowaways in moving clusters)
 
 
 def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
@@ -121,24 +123,41 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
               & pair_valid[:, None])
 
     T = hist_icp(s_xyz, s_mask, d_xyz, d_mask, translation_frame, cfg)
-    if cfg.identity_margin > 0:
-        # identity preference: self-similar geometry lets ICP slide to a
-        # marginally better NN error while the true motion is zero; when
-        # identity fits within the margin, it wins (see config.identity_margin)
-        err_f_id = _knn.masked_nn_error(s_xyz, s_mask, d_xyz, d_mask,
-                                        tile=cfg.nn_tile)
+    id_pt = jnp.zeros_like(s_mask)
+    if cfg.identity_margin > 0 or cfg.per_point_identity:
+        # per-point NN distances under identity and under T (reused for both
+        # the identity-preference rule and the per-point refinement)
+        _, d_id = _knn.masked_nn(s_xyz, d_xyz, d_mask, tile=cfg.nn_tile)
+        wf = s_mask.astype(d_id.dtype)
+        n_s = jnp.maximum(jnp.sum(wf, 1), 1e-9)
+        err_f_id = jnp.sum(d_id * wf, 1) / n_s
         err_b_id = _knn.masked_nn_error(d_xyz, d_mask, s_xyz, s_mask,
                                         tile=cfg.nn_tile)
         err_id = jnp.minimum(err_f_id, err_b_id)
         moved = geo.transform_points_batch(s_xyz, T)
-        err_f_T = _knn.masked_nn_error(moved, s_mask, d_xyz, d_mask,
-                                       tile=cfg.nn_tile)
+        _, d_T = _knn.masked_nn(moved, d_xyz, d_mask, tile=cfg.nn_tile)
+        err_f_T = jnp.sum(d_T * wf, 1) / n_s
         err_b_T = _knn.masked_nn_error(d_xyz, d_mask, moved, s_mask,
                                        tile=cfg.nn_tile)
         err_T = jnp.minimum(err_f_T, err_b_T)
-        prefer_id = err_id <= err_T + cfg.identity_margin
-        eye = jnp.broadcast_to(jnp.eye(4, dtype=T.dtype), T.shape)
-        T = jnp.where(prefer_id[:, None, None], eye, T)
+        if cfg.identity_margin > 0:
+            # identity preference: self-similar geometry lets ICP slide to a
+            # marginally better NN error while the true motion is zero; when
+            # identity fits within the margin, it wins (config.identity_margin)
+            prefer_id = err_id <= err_T + cfg.identity_margin
+            eye = jnp.broadcast_to(jnp.eye(4, dtype=T.dtype), T.shape)
+            T = jnp.where(prefer_id[:, None, None], eye, T)
+        else:
+            prefer_id = jnp.zeros(T.shape[:1], bool)
+        if cfg.per_point_identity:
+            # static stowaways inside an under-segmented moving cluster: the
+            # point's unmoved twin is an identity-NN inlier while its
+            # transformed position lands nowhere (config.per_point_identity)
+            is_mover = (jnp.linalg.norm(T[:, :3, 3], axis=1)
+                        > 2.0 * cfg.thres_dist) & ~prefer_id
+            id_pt = (s_mask & is_mover[:, None]
+                     & (d_id < cfg.thres_dist)
+                     & (d_T > 2.0 * cfg.thres_dist))
     stats, translation, rotation = match_eval(
         s_xyz, s_mask, d_xyz, d_mask, T, cfg)
     accept = gates.check_transformation(
@@ -146,7 +165,7 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
         translation_frame=translation_frame,
         thres_iou=cfg.thres_iou, thres_rot=cfg.thres_rot,
         thres_z=cfg.thres_z)
-    return T, stats, accept & pair_valid
+    return T, stats, accept & pair_valid, id_pt
 
 
 def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
@@ -179,10 +198,10 @@ def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
                - jnp.sum(vs_.astype(jnp.int32))
                - jnp.sum(vl_.astype(jnp.int32)))
 
-    Ts, stats_s, acc_s = _solve_bucket(
+    Ts, stats_s, acc_s, idp_s = _solve_bucket(
         seg_src, seg_dst, pair_src[os_], pair_dst[os_], vs_,
         translation_frame, cfg, ps)
-    Tl, stats_l, acc_l = _solve_bucket(
+    Tl, stats_l, acc_l, idp_l = _solve_bucket(
         seg_src, seg_dst, pair_src[ol_], pair_dst[ol_], vl_,
         translation_frame, cfg, cfg.max_points)
 
@@ -195,7 +214,15 @@ def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
     accept = jnp.zeros((K,), bool)
     accept = accept.at[os_].set(acc_s & vs_)
     accept = accept.at[ol_].max(acc_l & vl_)
-    return T, stats, accept & pair_valid, dropped
+    # per-point identity flags back to the (K, P) frame (small bucket covers
+    # only the first max_points_small slots; the rest stay False)
+    P = cfg.max_points
+    id_pt = jnp.zeros((K, P), bool)
+    idp_s_full = jnp.zeros((idp_s.shape[0], P), bool
+                           ).at[:, :ps].set(idp_s & vs_[:, None])
+    id_pt = id_pt.at[os_].set(idp_s_full)
+    id_pt = id_pt.at[ol_].max(idp_l & vl_[:, None])
+    return T, stats, accept & pair_valid, dropped, id_pt
 
 
 def _assign(pair_src, pair_dst, err, accept, L, thres_error,
@@ -270,13 +297,14 @@ def match_frame_pair(
     iota = jnp.arange(L, dtype=jnp.int32)
     valid1 = jnp.diagonal(sanity)
     (p1s, v1s), off1 = shard_slice([iota, valid1], L)
-    T1l, stats1l, accept1l, dropped1 = _run_stage(
+    T1l, stats1l, accept1l, dropped1, idp1l = _run_stage(
         seg_src, seg_dst, p1s, p1s, v1s, translation_frame, cfg)
     err1l = jnp.minimum(stats1l[:, 0], stats1l[:, 1])
     matched1, _ = _assign(p1s, p1s, err1l, accept1l, L, cfg.thres_error,
                           cp_axis=cp_axis, idx_offset=off1, total_pairs=L)
     T1 = gather(T1l)
     stats1 = gather(stats1l)
+    idp1 = gather(idp1l)
 
     # ---- stage 2: dynamic cartesian leftovers ---------------------------
     left_src = (seg_src.count > 0) & ~matched1
@@ -292,7 +320,7 @@ def match_frame_pair(
         valid2.astype(jnp.int32))
 
     (p2s, d2s, v2s), off2 = shard_slice([pair_src2, pair_dst2, valid2], K2)
-    T2l, stats2l, accept2l, dropped2 = _run_stage(
+    T2l, stats2l, accept2l, dropped2, idp2l = _run_stage(
         seg_src, seg_dst, p2s, d2s, v2s, translation_frame, cfg)
     err2l = jnp.minimum(stats2l[:, 0], stats2l[:, 1])
     matched2, chosen2 = _assign(
@@ -300,12 +328,14 @@ def match_frame_pair(
         cp_axis=cp_axis, idx_offset=off2, total_pairs=K2)
     T2 = gather(T2l)
     stats2 = gather(stats2l)
+    idp2 = gather(idp2l)
 
     # ---- combine: stage-1 winners keep their match ----------------------
     eye = jnp.broadcast_to(jnp.eye(4, dtype=T1.dtype), (L, 4, 4))
     t2_per_label = jnp.take(T2, chosen2, axis=0)
     s2_per_label = jnp.take(stats2, chosen2, axis=0)
     d2_per_label = jnp.take(pair_dst2, chosen2, axis=0)
+    i2_per_label = jnp.take(idp2, chosen2, axis=0)
 
     matched = matched1 | matched2
     transforms = jnp.where(
@@ -315,9 +345,13 @@ def match_frame_pair(
                       jnp.where(matched2[:, None], s2_per_label, 0.0))
     dst_label = jnp.where(matched1, iota,
                           jnp.where(matched2, d2_per_label, -1))
+    identity_pt = jnp.where(matched1[:, None], idp1,
+                            jnp.where(matched2[:, None], i2_per_label,
+                                      False))
     dropped = dropped1 + dropped2
     if cp_axis is not None:
         dropped = jax.lax.psum(dropped, cp_axis)
     return MatchResult(matched=matched, dst_label=dst_label,
                        transforms=transforms, stats=stats,
-                       overflow=overflow + dropped)
+                       overflow=overflow + dropped,
+                       identity_pt=identity_pt)

@@ -100,8 +100,18 @@ class SceneFlowEngine:
             pts_dst, valid_dst, labels_dst.astype(jnp.int32),
             jnp.asarray(translation_frame, jnp.float32), self.cfg)
 
-    def flow(self, raw_src_points, labels_src, transforms, pose):
-        """Per-point flow from per-cluster transforms (utils_flow.py:57-69)."""
+    def flow(self, raw_src_points, labels_src, transforms, pose,
+             seg_pidx=None, identity_pt=None):
+        """Per-point flow from per-cluster transforms (utils_flow.py:57-69).
+
+        With ``seg_pidx``/``identity_pt`` (from TrackOutput), the matcher's
+        per-point ego-only overrides are applied (config.per_point_identity).
+        """
+        if seg_pidx is not None and identity_pt is not None:
+            from ..flow import flow_with_identity_override
+            return flow_with_identity_override(
+                raw_src_points, labels_src.astype(jnp.int32), transforms,
+                jnp.asarray(pose, jnp.float32), seg_pidx, identity_pt)
         return flow_from_transforms(
             raw_src_points, labels_src.astype(jnp.int32), transforms,
             jnp.asarray(pose, jnp.float32))

@@ -86,8 +86,10 @@ class StreamingEngine:
         tf = cfg.translation_frame(1)
         out = eng.track_pair(jp, jv, lab_src, jp_prev, jv_prev, lab_dst, tf)
         # flow in world coordinates of the new frame vs the previous one
-        flow = np.asarray(eng.flow(jp, lab_src, out.result.transforms,
-                                   np.eye(4, dtype=np.float32)))[: len(scan)]
+        flow = np.asarray(eng.flow(
+            jp, lab_src, out.result.transforms, np.eye(4, dtype=np.float32),
+            seg_pidx=out.seg_src.pidx,
+            identity_pt=out.result.identity_pt))[: len(scan)]
         labels = np.asarray(lab_src)[: len(scan)]
         self._prev = (jp, jv, ng, len(scan))
         return StreamOutput(flow=flow, pose=pose,

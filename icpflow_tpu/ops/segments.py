@@ -32,12 +32,14 @@ class SegmentBatch(NamedTuple):
     count:  (L,)      true cluster sizes (pre-subsampling).
     mean:   (L, 3)    masked centroid per segment.
     extent: (L, 3)    sorted axis-aligned bbox side lengths.
+    pidx:   (L, P)    raw-cloud index of each segment slot (0 where invalid).
     """
     xyz: jnp.ndarray
     mask: jnp.ndarray
     count: jnp.ndarray
     mean: jnp.ndarray
     extent: jnp.ndarray
+    pidx: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("num_labels", "max_points"))
@@ -87,4 +89,5 @@ def extract_segments(
     lo = jnp.min(jnp.where(mask[:, :, None], xyz, big), axis=1)
     extent = jnp.sort(jnp.maximum(hi - lo, 0.0), axis=1)
     return SegmentBatch(xyz=xyz, mask=mask, count=counts,
-                        mean=mean, extent=extent)
+                        mean=mean, extent=extent,
+                        pidx=jnp.where(mask, pidx, 0).astype(jnp.int32))

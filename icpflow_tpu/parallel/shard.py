@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import PipelineConfig
-from ..flow import flow_from_transforms
+from ..flow import flow_with_identity_override
 from ..match.matcher import match_frame_pair
 from ..ops.segments import extract_segments
 
@@ -32,8 +32,9 @@ def _frame_pair_step(pts_src, valid_src, labels_src,
                                max_points=cfg.max_points)
     result = match_frame_pair(seg_src, seg_dst, translation_frame, cfg,
                               cp_axis=cp_axis, cp_size=cp_size)
-    flow = flow_from_transforms(pts_src, labels_src, result.transforms,
-                                jnp.eye(4, dtype=pts_src.dtype))
+    flow = flow_with_identity_override(
+        pts_src, labels_src, result.transforms,
+        jnp.eye(4, dtype=pts_src.dtype), seg_src.pidx, result.identity_pt)
     from ..metrics import compute_epe_sums_jnp
     sums = compute_epe_sums_jnp(flow, gt_flow, valid_src)
     return flow, result.transforms, sums

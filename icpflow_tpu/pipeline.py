@@ -54,7 +54,9 @@ def run_frame_pair(
     lab_dst, lab_src = engine.cluster_joint(j_dst, jv_dst, j_src, jv_src)
     out: TrackOutput = engine.track_pair(
         j_src, jv_src, lab_src, j_dst, jv_dst, lab_dst, translation_frame)
-    flow = engine.flow(j_src, lab_src, out.result.transforms, pose)
+    flow = engine.flow(j_src, lab_src, out.result.transforms, pose,
+                       seg_pidx=out.seg_src.pidx,
+                       identity_pt=out.result.identity_pt)
 
     n_src = len(point_src)
     n_dst = len(point_dst)
