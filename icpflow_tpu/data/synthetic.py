@@ -61,7 +61,7 @@ def lidar_scene(rng, *, n_ground=14000, n_beams=24, sensor_height=1.9):
             uu, vv = np.meshgrid(u, v)
             if axis == 0:
                 f = np.stack([np.full_like(uu, 0.5 * sign) * sx,
-                              uu.ravel() * sy if False else uu * sy,
+                              uu * sy,
                               vv * sz - sz / 2], -1).reshape(-1, 3)
             else:
                 f = np.stack([uu * sx, np.full_like(uu, 0.5 * sign) * sy,

@@ -45,7 +45,7 @@ def make_pca_npz(path, num_frames=2, seed=0):
         sd.append(is_car.astype(np.int64))
         fb.append(is_car.astype(np.int64))
         inst.append(is_car.astype(np.int64))
-        ego_T.append(np.linalg.inv(T) if False else T)
+        ego_T.append(T)
         # inst_motion maps frame-j ego-compensated points -> frame 0 state
         M = np.eye(4, dtype=np.float32)
         M[:3, 3] = -car_v * j
