@@ -11,29 +11,12 @@ regression-tested end-to-end at realistic density structure.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
 def _rot_z(yaw: float) -> np.ndarray:
     c, s = np.cos(yaw), np.sin(yaw)
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float32)
-
-
-def _scan_surface(rng, n_rays, surface_fn, r_max=60.0):
-    """Cast n_rays polar rays; surface_fn(az) -> (range, z_profile) or None."""
-    az = rng.uniform(0, 2 * np.pi, n_rays)
-    pts = []
-    for a in az:
-        hit = surface_fn(a)
-        if hit is None:
-            continue
-        r, z = hit
-        if r <= 0.5 or r > r_max:
-            continue
-        pts.append([r * np.cos(a), r * np.sin(a), z])
-    return np.asarray(pts, np.float32).reshape(-1, 3)
 
 
 def lidar_scene(rng, *, n_ground=14000, n_beams=24, sensor_height=1.9):
