@@ -46,8 +46,23 @@ class PipelineConfig:
     eps_scale_per_m: float = 0.0
     eps_max: float = 0.8
     # hdbscan (use_hdbscan=True -> ops/hdbscan.py hybrid device/native):
-    hdbscan_edges: int = 8        # mutual-reachability kNN edges per point
-    hdbscan_cell: float = 0.8     # candidate voxel size (caps core distance)
+    hdbscan_edges: int = 8        # mutual-reach kNN edges per point PER LEVEL
+    # multi-scale candidate voxel sizes (ops/cluster.py
+    # mutual_reachability_edges): fine for dense near-range cells, coarse to
+    # reach the k-th neighbor of sparse far-range points
+    hdbscan_cells: tuple = (0.35, 1.0, 3.0)
+    # per-cell candidate cap for the mutual-reachability kernel. Higher than
+    # the DBSCAN cap: sampling a dense cell inflates kNN edge weights
+    # non-uniformly, and the condensed tree reads such noise as cluster
+    # splits (fragmented movers -> failed matches)
+    hdbscan_cell_cap: int = 192
+    # exact (brute-force MXU) kNN graph instead of the voxel-hash candidate
+    # graph. The voxel graph is translation-variant: the two ego-aligned
+    # copies of a mover straddle different cell boundaries and fragment
+    # inconsistently, which the matcher's shape gates then reject. Exact kNN
+    # is the upstream-faithful structure; O(N^2) matmul FLOPs (~1 s/frame
+    # pair on one v5e chip for the hdbscan path only).
+    hdbscan_exact: bool = True
     # border reclaim: unlabelled points within this mutual-reachability
     # distance of a labelled neighbor adopt its cluster (the analogue of
     # upstream hdbscan's cluster_selection_epsilon; excess-of-mass selection
@@ -61,6 +76,12 @@ class PipelineConfig:
     hist_grid_z: int = 8          # wrapped grid cells along z
     hist_topk: int = 5            # NMS peaks kept (utils_hist.py:21 topk_nms k)
     hist_nms_kernel: int = 11     # NMS max-pool kernel (utils_hist.py:24)
+    # yaw hypotheses scored at the winning translation (framework extension;
+    # the reference init is translation-only, utils_hist.py:121-124, and
+    # point-to-point ICP cannot close >~0.1 rad on thin vehicle geometry, so
+    # long-gap rotating movers need the init to carry coarse yaw). (0.0,)
+    # disables the sweep.
+    hist_yaws: tuple = (0.0, -0.3, -0.15, 0.15, 0.3)
 
     # --- icp (main.py:94-98) ---
     thres_dist: float = 0.1

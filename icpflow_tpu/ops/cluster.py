@@ -209,43 +209,23 @@ def dbscan(
     return jnp.where(valid, out, -1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k_core", "edges_per_point", "cell_size", "cell_cap",
-                     "tile"),
-)
-def mutual_reachability_edges(
-    xyz: jnp.ndarray,
-    valid: jnp.ndarray,
-    *,
-    k_core: int = 15,
-    edges_per_point: int = 8,
-    cell_size: float = 0.8,
-    cell_cap: int = 64,
-    tile: int = 2048,
-):
-    """Device half of HDBSCAN: k-core distances + lightest mutual-reach edges.
+def _mre_level(xyz, valid, *, k_core: int, edges_per_point: int,
+               cell_size: float, cell_cap: int, tile: int,
+               core_full=None):
+    """One resolution level of the mutual-reachability kernel.
 
-    HDBSCAN's density model (the reference's primary clusterer,
-    `utils_cluster.py:10-29`): core distance d_k(p) = distance to the k-th
-    neighbor; mutual reachability w(p,q) = max(d_k(p), d_k(q), d(p,q)).
-    This kernel voxel-hashes candidates (27-cell neighborhoods, capped per
-    cell), computes d_k per point, and emits each point's ``edges_per_point``
-    lightest mutual-reachability edges — a kNN-graph whose MST approximates
-    the full-graph MST. Candidates beyond the neighborhood cap d_k at
-    1.5 * cell_size (sparse points become high-lambda noise, as in hdbscan).
+    With ``core_full=None`` (pass 1) returns this level's per-point k-core
+    distance estimate in ORIGINAL point order — an *upper bound* on the true
+    d_k: candidates this level misses (outside the 27-cell neighborhood, or
+    sampled out by ``cell_cap``) can only inflate the k-th sorted distance.
+    Points with fewer than ``k_core`` usable candidates get 1e9 (unknown).
 
-    The sequential half (MST -> condensed tree -> excess-of-mass selection)
-    runs in native C++ (native/npz_reader.cc: ifh_hdbscan_labels).
-
-    Returns: core_dist (N,), edge_dst (N, E) int32 (N = no edge),
-             edge_w (N, E) float32.
+    With ``core_full`` given (pass 2, original order) returns this level's
+    ``edges_per_point`` lightest mutual-reachability edges
+    (edge_dst (N,E) int32 with N = "no edge", edge_w (N,E) f32).
     """
     n = xyz.shape[0]
     f32 = jnp.float32
-    xyz = xyz.astype(f32)
-    valid = valid.astype(bool)
-    cap_dist = jnp.asarray(1.5 * cell_size, f32)
 
     cell = jnp.floor(xyz / cell_size).astype(jnp.int32)
     cmin = jnp.min(jnp.where(valid[:, None], cell, 2 ** 20), axis=0)
@@ -261,12 +241,12 @@ def mutual_reachability_edges(
     ids_s = ids[order]
     xyz_s = xyz[order]
     valid_s = valid[order]
+    core_s = None if core_full is None else core_full[order]
 
     pad_tile = (-n) % tile
     nt = (n + pad_tile) // tile
-    n_off = len(_OFFSETS)
 
-    def tile_pass(t):
+    def candidates(t):
         rows = t * tile + jnp.arange(tile)
         rows_c = jnp.minimum(rows, n - 1)
         p = xyz_s[rows_c]
@@ -290,20 +270,21 @@ def mutual_reachability_edges(
         is_self = pos == rows_c[:, None]
         usable = ok & valid_s[pos] & row_ok[:, None] & ~is_self
         d = jnp.where(usable, d, 1e9)
-        d_sorted = jnp.sort(d, axis=1)
-        core = jnp.minimum(d_sorted[:, k_core - 1], cap_dist)
-        return core, pos, d
+        return rows_c, pos, d
 
-    # pass 1: core distances (sorted layout)
-    core_tiles = jax.lax.map(lambda t: tile_pass(t)[0], jnp.arange(nt))
-    core_s = core_tiles.reshape(-1)[:n]
-    core_s = jnp.where(valid_s, core_s, 1e9)
+    if core_full is None:
+        def core_pass(t):
+            _, _, d = candidates(t)
+            d_sorted = jnp.sort(d, axis=1)
+            return jnp.minimum(d_sorted[:, k_core - 1], 1e9)
 
-    # pass 2: mutual-reachability edges using the full core vector
+        core_tiles = jax.lax.map(core_pass, jnp.arange(nt))
+        cs = core_tiles.reshape(-1)[:n]
+        cs = jnp.where(valid_s, cs, 1e9)
+        return jnp.full((n,), 1e9, f32).at[order].set(cs)
+
     def edge_pass(t):
-        _, pos, d = tile_pass(t)
-        rows = t * tile + jnp.arange(tile)
-        rows_c = jnp.minimum(rows, n - 1)
+        rows_c, pos, d = candidates(t)
         w = jnp.maximum(d, jnp.maximum(core_s[rows_c][:, None],
                                        core_s[pos]))
         w = jnp.where(d < 1e8, w, 1e9)
@@ -318,13 +299,171 @@ def mutual_reachability_edges(
     edge_w_s = ew_t.reshape(-1, ew_t.shape[-1])[:n]
 
     # back to original order (edges reference sorted positions -> remap)
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
     orig_of_sorted = jnp.concatenate(
         [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)])
-    core_dist = jnp.full((n,), 1e9, f32).at[order].set(core_s)
-    edge_dst = jnp.full((n, edge_dst_s.shape[1]), n, jnp.int32)
+    edge_dst = jnp.full((n, edges_per_point), n, jnp.int32)
     edge_dst = edge_dst.at[order].set(
         orig_of_sorted[jnp.minimum(edge_dst_s, n)])
-    edge_w = jnp.full((n, edge_w_s.shape[1]), 1e9, f32).at[order].set(edge_w_s)
-    return core_dist, edge_dst, edge_w
+    edge_w = jnp.full((n, edges_per_point), 1e9, f32).at[order].set(edge_w_s)
+    return edge_dst, edge_w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_core", "edges_per_point", "cell_sizes", "cell_cap",
+                     "tile"),
+)
+def mutual_reachability_edges(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k_core: int = 15,
+    edges_per_point: int = 8,
+    cell_sizes: tuple = (0.35, 1.0, 3.0),
+    cell_cap: int = 64,
+    tile: int = 2048,
+):
+    """Device half of HDBSCAN: k-core distances + lightest mutual-reach edges.
+
+    HDBSCAN's density model (the reference's primary clusterer,
+    `utils_cluster.py:10-29`): core distance d_k(p) = distance to the k-th
+    neighbor; mutual reachability w(p,q) = max(d_k(p), d_k(q), d(p,q)).
+
+    Lidar scenes span ~2 orders of magnitude in density (a 0.35 m voxel holds
+    hundreds of points at 5 m and is empty at 50 m), so a single voxel scale
+    cannot both (a) keep per-cell candidate sampling unbiased in dense areas
+    and (b) reach the k-th neighbor of sparse far-range points. The kernel
+    therefore runs the 27-cell voxel-hash at several ``cell_sizes``:
+
+      * every level's k-th-candidate distance is an UPPER bound on the true
+        d_k (missed or sampled-out candidates only inflate it), so the final
+        core distance is the min over levels — fine cells give the tight
+        bound in dense areas, coarse cells in sparse ones;
+      * each level contributes its ``edges_per_point`` lightest
+        mutual-reachability edges (weighted with the final core vector); the
+        union feeds the native MST, so short dense edges and long sparse
+        bridges both survive.
+
+    Points with fewer than ``k_core`` candidates even at the coarsest level
+    keep core 1e9 — their edges are dropped and they become noise, hdbscan's
+    high-lambda-noise semantics. Single-scale operation (the round-1 design,
+    whose dense-cell sampling bias fragmented clusters and shed fringes) is
+    just ``cell_sizes=(c,)``.
+
+    The sequential half (MST -> condensed tree -> excess-of-mass selection)
+    runs in native C++ (native/npz_reader.cc: ifh_hdbscan_labels).
+
+    Returns: core_dist (N,), edge_dst (N, L*E) int32 (N = no edge),
+             edge_w (N, L*E) float32.
+    """
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    xyz = xyz.astype(f32)
+    valid = valid.astype(bool)
+
+    kw = dict(k_core=k_core, edges_per_point=edges_per_point,
+              cell_cap=cell_cap, tile=tile)
+    cores = [_mre_level(xyz, valid, cell_size=c, **kw) for c in cell_sizes]
+    core_dist = cores[0]
+    for c in cores[1:]:
+        core_dist = jnp.minimum(core_dist, c)   # tightest upper bound on d_k
+
+    ed_l, ew_l = [], []
+    for c in cell_sizes:
+        ed, ew = _mre_level(xyz, valid, cell_size=c, core_full=core_dist,
+                            **kw)
+        ed_l.append(ed)
+        ew_l.append(ew)
+    return (core_dist,
+            jnp.concatenate(ed_l, axis=1),
+            jnp.concatenate(ew_l, axis=1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "src_tile", "dst_tile"),
+)
+def exact_knn_mutual_reachability(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k: int = 20,
+    src_tile: int = 1024,
+    dst_tile: int = 2048,
+):
+    """Exact k-nearest-neighbor mutual-reachability graph (brute force).
+
+    The voxel-hash kernel (`mutual_reachability_edges`) is fast but its
+    candidate graph is TRANSLATION-VARIANT: the same object at two positions
+    (the two ego-aligned copies of a mover in the joint cloud,
+    `dataset_pca.py:171-182`) straddles different cell boundaries and can
+    receive different spurious splits — the condensed tree then fragments
+    the two copies inconsistently and cluster-to-cluster matching fails its
+    shape gates. This kernel computes the EXACT kNN graph with tiled MXU
+    distance blocks (|x|^2 - 2<x,y> + |y|^2 at HIGHEST precision), a
+    translation-invariant graph matching upstream hdbscan's
+    ``approx_min_span_tree`` kNN structure (`utils_cluster.py:11-13`).
+
+    O(N^2) FLOPs, but they are matmul FLOPs: ~0.5-2 s for a 260k-point
+    joint cloud on one TPU v5e chip. Peak memory is (src_tile, N).
+
+    Returns: core_dist (N,), edge_dst (N, k) int32 (N = no edge),
+             edge_w (N, k) f32 — same contract as the voxel kernel.
+    """
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    xyz = xyz.astype(f32)
+    valid = valid.astype(bool)
+    big = jnp.asarray(1e9, f32)
+
+    pad_s = (-n) % src_tile
+    ns = (n + pad_s) // src_tile
+    pad_d = (-n) % dst_tile
+    nd = (n + pad_d) // dst_tile
+    xyz_d = jnp.pad(xyz, ((0, pad_d), (0, 0)))
+    valid_d = jnp.pad(valid, (0, pad_d))
+    dsq_d = jnp.sum(xyz_d * xyz_d, axis=1)
+
+    def src_pass(t):
+        rows = t * src_tile + jnp.arange(src_tile)
+        rows_c = jnp.minimum(rows, n - 1)
+        p = xyz[rows_c]                                   # (S,3)
+        psq = jnp.sum(p * p, axis=1)
+
+        def dst_step(carry, td):
+            best_d, best_i = carry                        # (S,k)
+            j0 = td * dst_tile
+            q = jax.lax.dynamic_slice_in_dim(xyz_d, j0, dst_tile, 0)
+            qv = jax.lax.dynamic_slice_in_dim(valid_d, j0, dst_tile, 0)
+            qsq = jax.lax.dynamic_slice_in_dim(dsq_d, j0, dst_tile, 0)
+            cross = jnp.einsum("sd,td->st", p, q,
+                               precision=jax.lax.Precision.HIGHEST)
+            d2 = psq[:, None] - 2.0 * cross + qsq[None, :]
+            jidx = j0 + jnp.arange(dst_tile)
+            is_self = jidx[None, :] == rows_c[:, None]
+            d2 = jnp.where(qv[None, :] & ~is_self, d2, big)
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(jidx[None, :],
+                                          (src_tile, dst_tile))], axis=1)
+            neg, sel = jax.lax.top_k(-cat_d, k)
+            return ((-neg, jnp.take_along_axis(cat_i, sel, axis=1)),
+                    None)
+
+        init = (jnp.full((src_tile, k), big),
+                jnp.full((src_tile, k), n, jnp.int32))
+        (bd, bi), _ = jax.lax.scan(dst_step, init, jnp.arange(nd))
+        return bd, bi
+
+    bd_t, bi_t = jax.lax.map(src_pass, jnp.arange(ns))
+    d2_knn = bd_t.reshape(-1, k)[:n]                      # (N,k) squared
+    idx_knn = bi_t.reshape(-1, k)[:n]
+    d_knn = jnp.sqrt(jnp.maximum(d2_knn, 0.0))
+
+    core = jnp.where(valid, d_knn[:, k - 1], 1e9)
+    core_pad = jnp.concatenate([core, jnp.full((1,), 1e9, f32)])
+    idx_c = jnp.minimum(idx_knn, n)
+    w = jnp.maximum(d_knn, jnp.maximum(core[:, None], core_pad[idx_c]))
+    w = jnp.where((d_knn < 1e8) & valid[:, None], w, 1e9)
+    edge_dst = jnp.where(w < 1e8, idx_knn, n)
+    return core, edge_dst, w

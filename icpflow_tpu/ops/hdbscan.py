@@ -60,12 +60,16 @@ def hdbscan(xyz, valid, cfg: PipelineConfig) -> np.ndarray:
     equal to min_cluster_size, capped for the candidate neighborhood.
     """
     k_core = min(cfg.min_cluster_size, 30)
-    core, edge_dst, edge_w = _cluster.mutual_reachability_edges(
-        jnp.asarray(xyz), jnp.asarray(valid),
-        k_core=k_core,
-        edges_per_point=cfg.hdbscan_edges,
-        cell_size=cfg.hdbscan_cell,
-        cell_cap=cfg.cluster_cell_cap)
+    if cfg.hdbscan_exact:
+        core, edge_dst, edge_w = _cluster.exact_knn_mutual_reachability(
+            jnp.asarray(xyz), jnp.asarray(valid), k=k_core)
+    else:
+        core, edge_dst, edge_w = _cluster.mutual_reachability_edges(
+            jnp.asarray(xyz), jnp.asarray(valid),
+            k_core=k_core,
+            edges_per_point=cfg.hdbscan_edges,
+            cell_sizes=cfg.hdbscan_cells,
+            cell_cap=cfg.hdbscan_cell_cap)
     labels = _native_labels(np.asarray(edge_dst), np.asarray(edge_w),
                             cfg.min_cluster_size)
     if labels is None:   # native lib unavailable: adaptive DBSCAN fallback

@@ -547,15 +547,24 @@ extern "C" int64_t ifh_hdbscan_labels(
   for (int32_t c = 0; c < nc; ++c)
     if (cond_parent[c] >= 0) children[cond_parent[c]].push_back(c);
   // iterate children-before-parents (ids grow downward from roots, so
-  // reverse id order is a valid bottom-up order)
+  // reverse id order is a valid bottom-up order).
+  //
+  // Forest roots ARE selectable: the MST comes from a kNN graph, so each
+  // spatially-isolated object is its own dendrogram root — in the complete
+  // mutual-reachability graph it would merge with the rest at a huge
+  // distance (lambda ~ 0), which is exactly the birth lambda these roots
+  // carry. Excluding roots (upstream's allow_single_cluster=False, harmless
+  // on a CONNECTED dendrogram whose root holds almost nothing) would force
+  // selection down to short-lived dense-core children and shed every
+  // cluster fringe as noise. Childless clusters gate on member count
+  // instead: undersized isolated components must stay noise.
   for (int32_t c = nc - 1; c >= 0; --c) {
     double child_sum = 0;
     for (int32_t ch : children[c]) child_sum += subtree[ch];
-    bool is_root = cond_parent[c] < 0;
     if (children[c].empty()) {
       subtree[c] = cond_stab[c];
-      selected[c] = !is_root;
-    } else if (cond_stab[c] > child_sum && !is_root) {
+      selected[c] = cond_size[c] >= min_cluster_size;
+    } else if (cond_stab[c] > child_sum) {
       subtree[c] = cond_stab[c];
       selected[c] = 1;
       // deselect descendants
@@ -570,11 +579,6 @@ extern "C" int64_t ifh_hdbscan_labels(
       subtree[c] = child_sum;
     }
   }
-  // forest-root clusters with no children: allow selection if big enough
-  for (int32_t c = 0; c < nc; ++c)
-    if (cond_parent[c] < 0 && children[c].empty() &&
-        cond_size[c] >= min_cluster_size)
-      selected[c] = 1;
 
   // ---- labels ----------------------------------------------------------
   std::vector<int32_t> sel_id(nc, -1);
