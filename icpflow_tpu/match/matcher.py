@@ -70,7 +70,7 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
         a_xyz, a_mask, b_xyz, b_mask, translation_frame,
         bin_w=cfg.hist_bin, lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
         topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
-        eval_tile=cfg.nn_tile)
+        eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws)
     T = _icp.apply_icp(
         a_xyz, a_mask, b_xyz, b_mask, init,
         thres=cfg.thres_dist, max_iters=cfg.icp_max_iters,

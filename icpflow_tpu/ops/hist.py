@@ -62,7 +62,8 @@ def _signed_shifts(l: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bin_w", "lxy", "lz", "topk", "nms_kernel", "eval_tile"),
+    static_argnames=("bin_w", "lxy", "lz", "topk", "nms_kernel", "eval_tile",
+                     "yaws"),
 )
 def estimate_init_translation(
     src: jnp.ndarray,
@@ -77,12 +78,22 @@ def estimate_init_translation(
     topk: int = 5,
     nms_kernel: int = 11,
     eval_tile: int = 1024,
+    yaws: tuple = (0.0,),
 ) -> jnp.ndarray:
     """Best translation init per cluster pair. Returns (B, 4, 4).
 
     Mirrors `utils_hist.py:46-124`: top-`topk` NMS peaks of the displacement
     histogram plus the zero candidate, scored by symmetric masked mean NN
     error, winner returned as a translation-only 4x4.
+
+    Framework extension beyond the reference (whose init is translation-only,
+    `utils_hist.py:121-124`): with multiple ``yaws``, the winning translation
+    is re-scored under each yaw hypothesis (rotation about the source
+    centroid) and the best (yaw, translation) becomes a full SE(3) init.
+    Point-to-point ICP cannot close large yaw on thin vehicle geometry, so
+    long-gap rotating movers need the init to carry the coarse rotation; a
+    nonzero yaw must beat the translation-only score by a 5% margin so noise
+    never rotates a static match.
     """
     b, n, _ = src.shape
     f32 = jnp.float32
@@ -165,4 +176,68 @@ def estimate_init_translation(
     t_best = jnp.take_along_axis(t_all, best[:, None, None], axis=1)[:, 0]
 
     T = jnp.broadcast_to(jnp.eye(4, dtype=f32), (b, 4, 4))
-    return T.at[:, :3, 3].set(t_best)
+    T = T.at[:, :3, 3].set(t_best)
+
+    nonzero_yaws = tuple(y for y in yaws if y != 0.0)
+    if not nonzero_yaws:
+        return T
+
+    # --- yaw sweep -------------------------------------------------------
+    # Each hypothesis is scored at TWO translations: the voted winner and the
+    # raw centroid difference. For a rotated object the yaw-0 histogram peak
+    # aligns some dominant face rather than the body, biasing t_best by up to
+    # the object radius — at that offset the true yaw scores WORSE than a
+    # half-way one. Centroid alignment has no such bias (both clouds cover
+    # the same object), so (dc, true-yaw) wins sharply.
+    import math
+    err0 = jnp.min(errors, axis=0)                                # (B,)
+    dc_exact = c_dst - c_src
+
+    import numpy as _np
+    cand_t = (t_best, dc_exact)
+    # one lax.map over all (yaw, translation) hypotheses: the scoring body
+    # (two masked NN sweeps) is traced/compiled ONCE, not per hypothesis —
+    # inlining each hypothesis ballooned the XLA program and cold-compile
+    # time on the tunnel-attached chip
+    rot_all = []
+    for psi in nonzero_yaws:
+        c, s = math.cos(psi), math.sin(psi)
+        R = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], f32)
+        rot = (jnp.einsum("bnj,ij->bni", src - c_src[:, None, :], R)
+               + c_src[:, None, :])
+        for trans in cand_t:
+            rot_all.append(rot + trans[:, None, :])
+    rot_all = jnp.stack(rot_all)                              # (Y*2,B,N,3)
+
+    def score_moved(moved):
+        e_f = _knn.masked_nn_error(moved, src_mask, dst, dst_mask,
+                                   tile=eval_tile)
+        e_b = _knn.masked_nn_error(dst, dst_mask, moved, src_mask,
+                                   tile=eval_tile)
+        return jnp.minimum(e_f, e_b)
+
+    errs_y = jax.lax.map(score_moved, rot_all)                # (Y*2,B)
+    flat_best = jnp.argmin(errs_y, axis=0)                        # (B,)
+    err_y = jnp.min(errs_y, axis=0)
+    yaw_tbl = jnp.asarray(_np.repeat(
+        _np.array(nonzero_yaws, _np.float32), len(cand_t)))
+    psi = jnp.take(yaw_tbl, flat_best)
+    t_stack = jnp.stack(cand_t, axis=0)                           # (2,B,3)
+    t_yaw = jnp.take_along_axis(
+        jnp.tile(t_stack, (len(nonzero_yaws), 1, 1)),
+        flat_best[None, :, None], axis=0)[0]                      # (B,3)
+    use_yaw = err_y < 0.95 * err0                                 # 5% margin
+    psi = jnp.where(use_yaw, psi, 0.0)
+    t_best = jnp.where(use_yaw[:, None], t_yaw, t_best)
+
+    cy, sy = jnp.cos(psi), jnp.sin(psi)
+    zero = jnp.zeros_like(cy)
+    one = jnp.ones_like(cy)
+    R = jnp.stack([
+        jnp.stack([cy, -sy, zero], -1),
+        jnp.stack([sy, cy, zero], -1),
+        jnp.stack([zero, zero, one], -1)], -2)                    # (B,3,3)
+    # x' = R (x - c) + c + t  ->  T = [R | t + c - R c]
+    t_full = t_best + c_src - jnp.einsum("bij,bj->bi", R, c_src)
+    T = T.at[:, :3, :3].set(R)
+    return T.at[:, :3, 3].set(t_full)

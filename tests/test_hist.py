@@ -111,3 +111,55 @@ def test_vertical_shift_beyond_reference_band():
         jnp.float32(8.0), lxy=128, lz=8, eval_tile=128)
     np.testing.assert_allclose(np.asarray(T)[0, :3, 3], (2.0, -1.0, 0.45),
                                atol=0.15)
+
+
+def _box(rng, n=600):
+    """Car-like box surface: thin geometry where yaw matters."""
+    pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    pts[:, 0] *= 2.2   # length
+    pts[:, 1] = np.sign(pts[:, 1]) * 0.9 + 0.03 * pts[:, 1]  # two sides
+    pts[:, 2] *= 0.7
+    return pts
+
+
+def test_yaw_sweep_recovers_rotating_mover():
+    """Long-gap rotating mover: translation + 0.28 rad yaw. The yaw sweep
+    must pick a nonzero hypothesis near the truth."""
+    rng = np.random.default_rng(7)
+    src = _box(rng)
+    yaw = 0.28
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = np.array([6.0, -2.0, 0.0], np.float32)
+    dst = src @ R.T + t + rng.normal(scale=0.01, size=src.shape
+                                     ).astype(np.float32)
+    pa, ma = pad(src, 1024)
+    pb, mb = pad(dst, 1024)
+    T = estimate_init_translation(
+        jnp.asarray(pa)[None], jnp.asarray(ma)[None],
+        jnp.asarray(pb)[None], jnp.asarray(mb)[None],
+        jnp.float32(16.0), lxy=128, lz=8, eval_tile=128,
+        yaws=(0.0, -0.3, -0.15, 0.15, 0.3))
+    got_R = np.asarray(T)[0, :3, :3]
+    got_yaw = np.arctan2(got_R[1, 0], got_R[0, 0])
+    assert abs(got_yaw - yaw) < 0.1, got_yaw
+    # translated+rotated src must land near dst (centroid-level check)
+    moved = src @ got_R.T + np.asarray(T)[0, :3, 3]
+    assert np.linalg.norm(moved.mean(0) - dst.mean(0)) < 0.2
+
+
+def test_yaw_sweep_keeps_identity_for_pure_translation():
+    """The 5% margin: a purely translated cloud must not pick up yaw."""
+    rng = np.random.default_rng(8)
+    a, b = make_pair(rng, 400, (3.0, 1.0, 0.0), noise=0.01)
+    pa, ma = pad(a, 512)
+    pb, mb = pad(b, 512)
+    T = estimate_init_translation(
+        jnp.asarray(pa)[None], jnp.asarray(ma)[None],
+        jnp.asarray(pb)[None], jnp.asarray(mb)[None],
+        jnp.float32(8.0), lxy=128, lz=8, eval_tile=128,
+        yaws=(0.0, -0.3, -0.15, 0.15, 0.3))
+    got_R = np.asarray(T)[0, :3, :3]
+    np.testing.assert_allclose(got_R, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T)[0, :3, 3], (3.0, 1.0, 0.0),
+                               atol=0.15)
