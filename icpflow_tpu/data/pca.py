@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from ..ops.cluster import dbscan
-from ..ops.ground import segment_ground
 from ..ops.segments import GROUND_LABEL
 
 
@@ -37,10 +36,14 @@ def _pad(pts: np.ndarray, cap: int):
     return out, valid
 
 
-class DatasetPCA:
+from .loading import PrefetchIterMixin
+
+
+class DatasetPCA(PrefetchIterMixin):
     """Iterable over PCA-format sequences; yields the reference's sample
     tuple (data dict, per-pair src/dst points and labels,
-    `dataset_pca.py:230-242`)."""
+    `dataset_pca.py:230-242`). ``iter_samples`` (PrefetchIterMixin) overlaps
+    native npz decode with device compute."""
 
     def __init__(self, cfg: PipelineConfig, root: str, split: str,
                  manifest_dir: str = "assets/configs/datasets"):
@@ -48,10 +51,25 @@ class DatasetPCA:
         self.root = root
         self.split = split
         info = os.path.join(manifest_dir, cfg.dataset, f"{split}_info.txt")
+        if not os.path.exists(info):
+            # shipped manifests (reference assets/configs/datasets/*): the
+            # exact waymo/nuscene sequence splits (4031/2974 test seqs)
+            repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            shipped = os.path.join(repo_root, manifest_dir, cfg.dataset,
+                                   f"{split}_info.txt")
+            if os.path.exists(shipped):
+                info = shipped
+        self.seq_paths: List[str] = []
         if os.path.exists(info):
             names = np.loadtxt(info, dtype=str).tolist()
-            self.seq_paths: List[str] = [root + n for n in names]
-        else:
+            paths = [root + n for n in names]
+            # use the manifest only when it matches the data root (the
+            # shipped manifests name /waymo/test/... style paths); synthetic
+            # fixture roots fall through to the glob below
+            if paths and os.path.exists(paths[0]):
+                self.seq_paths = paths
+        if not self.seq_paths:
             import glob
             # fallback glob; exclude our own outputs (flow dumps, pose caches)
             self.seq_paths = sorted(
@@ -64,11 +82,13 @@ class DatasetPCA:
 
     # -- raw load + crop + GT flow (dataset_pca.py:30-113) -----------------
     def load_raw(self, path: str) -> Dict[str, np.ndarray]:
+        from .native_loader import load_npz
+        return self._raw_from_dict(load_npz(path), path)
+
+    def _raw_from_dict(self, d, path: str) -> Dict[str, np.ndarray]:
         from .loading import ego_motion_compensation, reconstruct_sequence
 
         cfg = self.cfg
-        from .native_loader import load_npz
-        d = load_npz(path)
         raw_points, time_indice = d["raw_points"], d["time_indice"]
         sd, fb = d["sd_labels"], d["fb_labels"]
         inst = d["inst_labels"]
@@ -97,15 +117,23 @@ class DatasetPCA:
 
     # -- ground removal per frame (dataset_pca.py:152-161) -----------------
     def ground_removal(self, data) -> np.ndarray:
+        """Per-frame Patchwork-style segmentation with the adaptive A-GLE /
+        TGR state threaded across the sequence's frames (patchwork++'s true
+        cross-frame semantics, patchworkpp.cpp:321-358; note the reference
+        wrapper re-initialises per frame, utils_ground.py:52-58 — carrying
+        the state is this framework's fidelity-to-upstream extension)."""
+        from ..ops.ground import initial_ground_state, segment_ground_stateful
+
         cfg = self.cfg
         nonground = np.zeros(len(data["raw_points"]), bool)
+        state = initial_ground_state()
         for j in range(cfg.num_frames):
             sel = data["time_indice"] == j
             pts, valid = _pad(data["raw_points"][sel], cfg.max_points_scene)
-            ng = np.asarray(segment_ground(
-                jnp.asarray(pts), jnp.asarray(valid),
-                range_z=cfg.range_z, ground_slack=cfg.ground_slack))
-            nonground[sel] = ng[: sel.sum()]
+            ng, state = segment_ground_stateful(
+                jnp.asarray(pts), jnp.asarray(valid), state,
+                range_z=cfg.range_z, ground_slack=cfg.ground_slack)
+            nonground[sel] = np.asarray(ng)[: sel.sum()]
         return nonground
 
     # -- ego poses: GT or cached KISS-style estimate -----------------------
@@ -174,10 +202,12 @@ class DatasetPCA:
             })
         return out
 
-    def __getitem__(self, idx: int):
-        data = self.load_raw(self.seq_paths[idx])
+    def _prepare(self, data):
         nonground = self.ground_removal(data)
         ego_poses = self.ego_poses(data)
         data["ego_poses"] = ego_poses
         pairs = self.cluster_pairs(data, ego_poses, nonground)
         return data, pairs
+
+    def __getitem__(self, idx: int):
+        return self._prepare(self.load_raw(self.seq_paths[idx]))

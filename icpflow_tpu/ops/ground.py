@@ -2,16 +2,41 @@
 
 Replaces the reference's Patchwork++ C++ dependency (`patchwork-plusplus/`,
 wrapped at `utils_ground.py:43-66`) with a static-shape JAX implementation of
-the same pipeline shape: Concentric Zone Model binning (4 zones with
-{2,4,4,4} rings x {16,32,54,32} sectors, `patchworkpp.h:100-101`) ->
-per-patch seed selection from lowest points -> iterative PCA plane fit
-(R-GPF, `patchworkpp.cpp:493-526`, 3 iterations) -> A-GLE-style acceptance on
-uprightness / elevation / flatness (`patchworkpp.cpp:205-265`).
+the full pipeline:
+
+  Concentric Zone Model binning (4 zones with {2,4,4,4} rings x
+  {16,32,54,32} sectors, `patchworkpp.h:100-101`)
+  -> R-VPF region-wise vertical plane removal in zone 0
+     (`patchworkpp.cpp:460-491`)
+  -> per-patch seed selection from lowest points with the zone-0 floor
+     (`patchworkpp.cpp:67-101`, adaptive_seed_selection_margin)
+  -> R-GPF iterative PCA plane fit (`patchworkpp.cpp:493-526`, 3 iterations)
+  -> A-GLE acceptance ladder on uprightness / heading / elevation / flatness
+     per concentric ring (`patchworkpp.cpp:205-265`)
+  -> TGR temporal-ground-revert of flat-but-elevated candidates against the
+     ring's flatness distribution (`patchworkpp.cpp:385-447`)
+  -> adaptive per-ring elevation/flatness threshold updates carried across
+     frames as explicit functional state (`patchworkpp.cpp:321-358`).
 
 TPU shape discipline: one global sort by (patch, z) replaces the per-patch
 z-sorts; plane fits run as a single batched masked PCA over all patches
 (3x3 eigh); every point is then classified against its patch's plane, so the
 per-patch point cap only limits the *fit*, never the labelling.
+
+Deliberate deviations (docs/ARCHITECTURE.md):
+  * the reference keeps the last 1000 elevation/flatness samples per ring
+    (`patchworkpp.h:104-105`); the functional state keeps capped Welford
+    moments instead (same mean/std role, no unbounded host lists);
+  * the reference re-estimates sensor_height from ring-0 elevations
+    (`patchworkpp.cpp:331`); here it only feeds the zone-0 seed floor and
+    stays fixed;
+  * TGR's >1500-point unconditional revert (`patchworkpp.cpp:416`) is
+    size-capped away by ``patch_cap`` (the probabilistic revert remains);
+  * a within-frame per-zone elevation consensus (framework extension) caps
+    the elevation gate so planes fitted through object undersides are
+    rejected even on the first frame of a sequence, where the reference's
+    adaptive thresholds are still the permissive init
+    (`patchworkpp.h:106-107`: elevation_thr starts at 0 in sensor frame).
 
 The public wrapper reproduces `utils_ground.py:16-23`: a point is non-ground
 iff it is above the z-threshold AND the CZM model calls it non-ground.
@@ -22,6 +47,7 @@ Reflected-noise removal (RNR) is omitted — the reference disables it
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,16 +60,49 @@ ZONE_SECTORS = (16, 32, 54, 32)
 ZONE_BOUNDS = (1.0, 12.3625, 22.025, 41.35, 64.0)
 
 NUM_PATCHES = sum(r * s for r, s in zip(ZONE_RINGS, ZONE_SECTORS))
+NUM_RINGS = sum(ZONE_RINGS)
+NUM_RINGS_OF_INTEREST = 4     # patchworkpp.h:85 (near rings w/ elev+flat gates)
 
-# A-GLE defaults (patchworkpp.h:38-108): uprightness cos(~45deg), per-zone
-# elevation slack and flatness (surface variance) thresholds
+# Patchwork++ defaults (patchworkpp.h:38-108); elevation gates operate in the
+# SENSOR frame (ground sits ~ -sensor_height), as in the reference.
 UPRIGHTNESS_THR = 0.707
-ELEVATION_THR = (0.523, 0.746, 0.879, 1.678)
-FLATNESS_THR = (0.0005, 0.000725, 0.001, 0.001)
 NUM_LPR = 20          # lowest-point representatives for seeding
+NUM_MIN_PTS = 10      # patches below this go unfit (patchworkpp.h:84)
 TH_SEEDS = 0.125      # seed band above the lowest-point mean
 TH_DIST = 0.125       # plane inlier distance
-NUM_ITER = 3          # R-GPF iterations
+TH_SEEDS_V = 0.25     # R-VPF seed band (patchworkpp.h:95)
+TH_DIST_V = 0.1       # R-VPF vertical-plane thickness (patchworkpp.h:96)
+SEED_MARGIN = -1.2    # adaptive_seed_selection_margin (patchworkpp.h:99)
+NUM_ITER = 3          # R-GPF / R-VPF iterations
+TGR_LINE_VAR = 8.0    # line_variable rejection (patchworkpp.cpp:421)
+STATS_CAP = 1000.0    # max_{elevation,flatness}_storage (patchworkpp.h:104)
+
+# permissive init thresholds, reference semantics (patchworkpp.h:106-107:
+# both start at 0 in sensor frame and are learned adaptively)
+INIT_ELEVATION_THR = (0.0, 0.0, 0.0, 0.0)
+INIT_FLATNESS_THR = (0.0, 0.0, 0.0, 0.0)
+
+
+class GroundState(NamedTuple):
+    """Cross-frame adaptive A-GLE state (patchworkpp.cpp:321-358).
+
+    ``*_stats`` rows are capped Welford moments (n, mean, M2) per near ring.
+    """
+    elev_thr: jnp.ndarray    # (NUM_RINGS_OF_INTEREST,)
+    flat_thr: jnp.ndarray    # (NUM_RINGS_OF_INTEREST,)
+    elev_stats: jnp.ndarray  # (NUM_RINGS_OF_INTEREST, 3)
+    flat_stats: jnp.ndarray  # (NUM_RINGS_OF_INTEREST, 3)
+
+
+def initial_ground_state() -> GroundState:
+    f32 = jnp.float32
+    r = NUM_RINGS_OF_INTEREST
+    return GroundState(
+        elev_thr=jnp.asarray(INIT_ELEVATION_THR, f32),
+        flat_thr=jnp.asarray(INIT_FLATNESS_THR, f32),
+        elev_stats=jnp.zeros((r, 3), f32),
+        flat_stats=jnp.zeros((r, 3), f32),
+    )
 
 
 def _patch_index(xyz: jnp.ndarray):
@@ -51,7 +110,6 @@ def _patch_index(xyz: jnp.ndarray):
     r = jnp.linalg.norm(xyz[:, :2], axis=1)
     theta = jnp.arctan2(xyz[:, 1], xyz[:, 0]) + jnp.pi      # [0, 2pi)
     pid = jnp.full(r.shape, -1, jnp.int32)
-    zone_elev = jnp.zeros(r.shape, jnp.int32)
     base = 0
     for z, (nr, ns) in enumerate(zip(ZONE_RINGS, ZONE_SECTORS)):
         lo, hi = ZONE_BOUNDS[z], ZONE_BOUNDS[z + 1]
@@ -61,9 +119,8 @@ def _patch_index(xyz: jnp.ndarray):
         sector = jnp.clip((theta / (2 * jnp.pi) * ns).astype(jnp.int32),
                           0, ns - 1)
         pid = jnp.where(in_zone, base + ring * ns + sector, pid)
-        zone_elev = jnp.where(in_zone, z, zone_elev)
         base += nr * ns
-    return pid, zone_elev
+    return pid
 
 
 def _zone_of_patch() -> jnp.ndarray:
@@ -72,6 +129,259 @@ def _zone_of_patch() -> jnp.ndarray:
     for z, (nr, ns) in enumerate(zip(ZONE_RINGS, ZONE_SECTORS)):
         out += [z] * (nr * ns)
     return jnp.asarray(out, jnp.int32)
+
+
+def _ring_of_patch() -> jnp.ndarray:
+    """(NUM_PATCHES,) concentric ring index (0..NUM_RINGS-1) per patch —
+    the reference's ``concentric_idx`` (patchworkpp.cpp:164,297)."""
+    out = []
+    ring0 = 0
+    for nr, ns in zip(ZONE_RINGS, ZONE_SECTORS):
+        for rr in range(nr):
+            out += [ring0 + rr] * ns
+        ring0 += nr
+    return jnp.asarray(out, jnp.int32)
+
+
+def _welford_update(stats: jnp.ndarray, new_n, new_mean, new_m2):
+    """Merge per-ring frame moments into capped running moments.
+
+    Chan et al. parallel merge, then a multiplicative cap standing in for the
+    reference's bounded sample storage (patchworkpp.cpp:338-339).
+    """
+    n0, mu0, m20 = stats[:, 0], stats[:, 1], stats[:, 2]
+    n = n0 + new_n
+    safe = jnp.maximum(n, 1e-9)
+    delta = new_mean - mu0
+    mu = mu0 + delta * new_n / safe
+    m2 = m20 + new_m2 + delta * delta * n0 * new_n / safe
+    scale = jnp.minimum(1.0, STATS_CAP / jnp.maximum(n, 1.0))
+    out = jnp.stack([n * scale, mu, m2 * scale], axis=1)
+    return jnp.where((new_n > 0)[:, None], out, stats)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch_cap", "sensor_height", "use_consensus"))
+def czm_ground_mask_stateful(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    state: GroundState,
+    *,
+    patch_cap: int = 256,
+    sensor_height: float = 1.723,
+    use_consensus: bool = True,
+) -> Tuple[jnp.ndarray, GroundState]:
+    """(N,) bool ground mask + updated adaptive state.
+
+    Points outside the radial range are labelled non-ground (as in
+    patchwork++, which simply does not bin them).
+    """
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    xyz = xyz.astype(f32)
+    pid = _patch_index(xyz)
+    pid = jnp.where(valid, pid, -1)
+    key = jnp.where(pid >= 0, pid, NUM_PATCHES)
+
+    P, K = NUM_PATCHES, patch_cap
+    k_iota = jnp.arange(K)
+
+    def gather_patches(keys):
+        """(P,K) z-ascending patch tensors via one global (patch, z) sort."""
+        z_order = jnp.argsort(xyz[:, 2])
+        key_z = keys[z_order]
+        order = z_order[jnp.argsort(key_z, stable=True)]   # patch asc, z asc
+        counts = jnp.bincount(keys, length=NUM_PATCHES + 1)[:NUM_PATCHES]
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+        gidx = jnp.clip(starts[:, None] + k_iota[None, :], 0, n - 1)
+        pmask = k_iota[None, :] < jnp.minimum(counts, K)[:, None]
+        pts = xyz[order[gidx]]                              # (P,K,3) z-asc
+        return pts * pmask[:, :, None], pmask, counts
+
+    pts, pmask, counts = gather_patches(key)
+
+    zone = _zone_of_patch()
+    ring = _ring_of_patch()
+    is_zone0 = (zone == 0)
+    near = ring < NUM_RINGS_OF_INTEREST
+    ring_c = jnp.minimum(ring, NUM_RINGS_OF_INTEREST - 1)
+
+    def seed_select(pts_k, avail, th_seed):
+        """Seeds = z < mean(first NUM_LPR available)+th_seed, with the zone-0
+        low-outlier floor (patchworkpp.cpp:77-85)."""
+        floor_ok = pts_k[:, :, 2] >= (SEED_MARGIN * sensor_height)
+        usable = avail & (floor_ok | ~is_zone0[:, None])
+        # rank among usable (z-ascending layout): first NUM_LPR usable slots
+        rank = jnp.cumsum(usable.astype(jnp.int32), axis=1) - 1
+        lpr = usable & (rank < NUM_LPR)
+        w = lpr.astype(f32)
+        lpr_mean = (jnp.sum(pts_k[:, :, 2] * w, 1)
+                    / jnp.maximum(jnp.sum(w, 1), 1e-9))
+        return avail & (pts_k[:, :, 2] < lpr_mean[:, None] + th_seed)
+
+    def fit(pts_k, w):
+        """Masked PCA plane fit; n-1 covariance like the reference
+        (patchworkpp.cpp:47). Returns plane + raw eigenvalues (ascending)."""
+        wf = w.astype(f32)
+        tot = jnp.sum(wf, 1)
+        denom = jnp.maximum(tot - 1.0, 1e-9)
+        mean = jnp.sum(pts_k * wf[:, :, None], 1) / jnp.maximum(
+            tot, 1e-9)[:, None]
+        c = (pts_k - mean[:, None, :]) * wf[:, :, None]
+        cov = jnp.einsum("pki,pkj->pij", c, c) / denom[:, None, None]
+        evals, evecs = jnp.linalg.eigh(cov)                 # ascending
+        normal = evecs[:, :, 0]
+        normal = normal * jnp.sign(normal[:, 2:3] + 1e-12)  # point up
+        d = -jnp.sum(normal * mean, axis=1)
+        return normal, d, evals, mean
+
+    # --- R-VPF: remove vertical planes under the ground (zone 0) ---------
+    # Batched version of patchworkpp.cpp:460-491: iteratively seed with the
+    # wider band, fit; while the fit is vertical, peel its inlier slab off.
+    removed_v = jnp.zeros_like(pmask)
+    vpf_active = is_zone0
+    vpf_normals = jnp.zeros((NUM_ITER, P, 3), f32)
+    vpf_d = jnp.zeros((NUM_ITER, P), f32)
+    vpf_on = jnp.zeros((NUM_ITER, P), bool)
+    for i in range(NUM_ITER):
+        remaining = pmask & ~removed_v
+        seeds_v = seed_select(pts, remaining, TH_SEEDS_V)
+        nrm, dd, _, _ = fit(pts, seeds_v)
+        enough = jnp.sum(seeds_v.astype(jnp.int32), 1) >= 3
+        vertical = (jnp.abs(nrm[:, 2]) < UPRIGHTNESS_THR) & enough
+        act = vpf_active & vertical
+        dist = jnp.abs(jnp.einsum("pki,pi->pk", pts, nrm) + dd[:, None])
+        removed_v = removed_v | (act[:, None] & (dist < TH_DIST_V) & pmask)
+        vpf_normals = vpf_normals.at[i].set(nrm)
+        vpf_d = vpf_d.at[i].set(dd)
+        vpf_on = vpf_on.at[i].set(act)
+        vpf_active = act                                    # break emulation
+
+    # Apply the peel to ALL points and re-gather the patch tensors: the
+    # capped (P,K) subset holds the LOWEST K points, so a dense buried
+    # vertical structure (wall footing) can occupy the whole cap and starve
+    # the true ground out of the fit entirely — the reference fits
+    # `src_wo_verticals`, i.e. the full patch minus the peeled slabs
+    # (patchworkpp.cpp:463-466,497).
+    any_vpf = vpf_on.any()
+    pk_all = jnp.minimum(key, NUM_PATCHES)
+    peeled_all = jnp.zeros((n,), bool)
+    for i in range(NUM_ITER):
+        vn = jnp.concatenate([vpf_normals[i], jnp.zeros((1, 3), f32)])
+        vd = jnp.concatenate([vpf_d[i], jnp.zeros((1,), f32)])
+        von = jnp.concatenate([vpf_on[i], jnp.zeros((1,), bool)])
+        dist_v = jnp.abs(jnp.sum(xyz * vn[pk_all], axis=1) + vd[pk_all])
+        peeled_all = peeled_all | (von[pk_all] & (dist_v < TH_DIST_V))
+    key_gpf = jnp.where(peeled_all, NUM_PATCHES, key)
+    pts_g, pmask_g, counts_g = jax.lax.cond(
+        any_vpf,
+        lambda: gather_patches(key_gpf),
+        lambda: (pts, pmask, counts))
+
+    # --- R-GPF: iterative masked PCA plane fit ---------------------------
+    inlier = seed_select(pts_g, pmask_g, TH_SEEDS)
+    for _ in range(NUM_ITER):
+        normal, d, evals, mean = fit(pts_g, inlier)
+        dist = jnp.abs(jnp.einsum("pki,pi->pk", pts_g, normal) + d[:, None])
+        inlier = pmask_g & (dist < TH_DIST)
+
+    # --- A-GLE acceptance ladder (patchworkpp.cpp:205-265) ---------------
+    # elevation in SENSOR frame; flatness = raw min eigenvalue; line
+    # variable = largest/middle eigenvalue (singular values of the n-1 cov).
+    elevation = mean[:, 2]
+    flatness = evals[:, 0]
+    line_var = evals[:, 2] / jnp.maximum(evals[:, 1], 1e-12)
+    heading = jnp.sum(mean * normal, axis=1)
+
+    e_thr = state.elev_thr[ring_c]
+    f_thr = state.flat_thr[ring_c]
+    upright = jnp.abs(normal[:, 2]) > UPRIGHTNESS_THR
+    has_fit = (jnp.sum(inlier.astype(jnp.int32), 1) >= 3) & (
+        jnp.minimum(counts, K) >= NUM_MIN_PTS)
+    not_elevated = elevation < e_thr
+    flat = flatness < f_thr
+
+    if use_consensus:
+        # within-frame consensus cap (framework extension, see module doc):
+        # per-zone mean+3*std of provisionally-accepted ground elevations
+        acc = (has_fit & upright & not_elevated).astype(f32)
+        zone_oh = (zone[:, None] == jnp.arange(len(ZONE_RINGS))[None, :])
+        zw = zone_oh.astype(f32) * acc[:, None]              # (P, zones)
+        z_cnt = jnp.sum(zw, 0)
+        z_mean = jnp.sum(zw * elevation[:, None], 0) / jnp.maximum(
+            z_cnt, 1e-9)
+        z_var = (jnp.sum(zw * (elevation[:, None] - z_mean[None, :]) ** 2, 0)
+                 / jnp.maximum(z_cnt, 1e-9))
+        consensus = jnp.where(z_cnt >= 4,
+                              z_mean + 3.0 * jnp.sqrt(z_var) + 0.05,
+                              jnp.full_like(z_cnt, 1e9))
+        not_elevated = not_elevated & (elevation < consensus[zone])
+
+    ground_direct = has_fit & upright & (
+        ~near | ((heading < 0.0) & (not_elevated | flat)))
+    candidate = (has_fit & upright & near & (heading < 0.0)
+                 & ~(not_elevated | flat))
+
+    # --- TGR: revert flat-but-elevated candidates (patchworkpp.cpp:385) --
+    # ring flatness distribution over provisionally-accepted near patches
+    accepted_for_stats = has_fit & upright & not_elevated & near
+    ring_oh = (ring_c[:, None] == jnp.arange(NUM_RINGS_OF_INTEREST)[None, :])
+    rw = ring_oh.astype(f32) * accepted_for_stats.astype(f32)[:, None]
+    r_cnt = jnp.sum(rw, 0)
+    r_mean_f = jnp.sum(rw * flatness[:, None], 0) / jnp.maximum(r_cnt, 1e-9)
+    r_var_f = (jnp.sum(rw * (flatness[:, None] - r_mean_f[None, :]) ** 2, 0)
+               / jnp.maximum(r_cnt, 1e-9))
+    mu_f = r_mean_f + 1.5 * jnp.sqrt(r_var_f)               # (rings,)
+    mu_p = jnp.maximum(mu_f[ring_c], 1e-12)
+    prob_flat = 1.0 / (1.0 + jnp.exp(jnp.clip(
+        (flatness - mu_p) / (mu_p / 10.0), -30.0, 30.0)))
+    prob_line = (line_var <= TGR_LINE_VAR).astype(f32)
+    revert = candidate & (prob_flat * prob_line > 0.5) & (r_cnt[ring_c] > 0)
+
+    ground_patch = ground_direct | revert
+
+    # --- adaptive threshold update (patchworkpp.cpp:321-358) -------------
+    new_n = r_cnt
+    r_mean_e = jnp.sum(rw * elevation[:, None], 0) / jnp.maximum(r_cnt, 1e-9)
+    r_m2_e = jnp.sum(rw * (elevation[:, None] - r_mean_e[None, :]) ** 2, 0)
+    r_m2_f = r_var_f * jnp.maximum(r_cnt, 1e-9)
+    elev_stats = _welford_update(state.elev_stats, new_n, r_mean_e, r_m2_e)
+    flat_stats = _welford_update(state.flat_stats, new_n, r_mean_f, r_m2_f)
+
+    def thr_from(stats, k_sigma):
+        nn = stats[:, 0]
+        std = jnp.sqrt(stats[:, 2] / jnp.maximum(nn, 1e-9))
+        return stats[:, 1] + k_sigma * std, nn > 0
+
+    k_e = jnp.asarray([3.0, 2.0, 2.0, 2.0], f32)            # cpp:330-334
+    e_new, e_has = thr_from(elev_stats, k_e)
+    f_new, f_has = thr_from(flat_stats, jnp.asarray(1.0, f32))
+    new_state = GroundState(
+        elev_thr=jnp.where(e_has, e_new, state.elev_thr),
+        flat_thr=jnp.where(f_has, f_new, state.flat_thr),
+        elev_stats=elev_stats,
+        flat_stats=flat_stats,
+    )
+
+    # --- classify every point against its patch plane --------------------
+    n_pad = jnp.concatenate([normal, jnp.zeros((1, 3), f32)])
+    d_pad = jnp.concatenate([d, jnp.zeros((1,), f32)])
+    gp_pad = jnp.concatenate([ground_patch, jnp.zeros((1,), bool)])
+    pk = jnp.minimum(key, NUM_PATCHES)
+    dist_all = jnp.abs(jnp.sum(xyz * n_pad[pk], axis=1) + d_pad[pk])
+    ground_pt = valid & gp_pad[pk] & (dist_all < TH_DIST)
+
+    # R-VPF slabs are vertical structure, never ground — even where they
+    # intersect the accepted ground plane (patchworkpp.cpp:482-485)
+    for i in range(NUM_ITER):
+        vn = jnp.concatenate([vpf_normals[i], jnp.zeros((1, 3), f32)])
+        vd = jnp.concatenate([vpf_d[i], jnp.zeros((1,), f32)])
+        von = jnp.concatenate([vpf_on[i], jnp.zeros((1,), bool)])
+        dist_v = jnp.abs(jnp.sum(xyz * vn[pk], axis=1) + vd[pk])
+        ground_pt = ground_pt & ~(von[pk] & (dist_v < TH_DIST_V))
+
+    return ground_pt, new_state
 
 
 @functools.partial(
@@ -83,100 +393,12 @@ def czm_ground_mask(
     patch_cap: int = 256,
     sensor_height: float = 1.723,
 ) -> jnp.ndarray:
-    """(N,) bool: True where the CZM model labels the point ground.
-
-    Points outside the radial range are labelled non-ground (as in
-    patchwork++, which simply does not bin them).
-    """
-    n = xyz.shape[0]
-    f32 = jnp.float32
-    xyz = xyz.astype(f32)
-    pid, _ = _patch_index(xyz)
-    pid = jnp.where(valid, pid, -1)
-    key = jnp.where(pid >= 0, pid, NUM_PATCHES)
-
-    # one global (patch, z) sort: pre-sort by z, stable-sort by patch key
-    z_order = jnp.argsort(xyz[:, 2])
-    key_z = key[z_order]
-    order = z_order[jnp.argsort(key_z, stable=True)]       # patch asc, z asc
-    key_s = key[order]
-
-    counts = jnp.bincount(key, length=NUM_PATCHES + 1)[:NUM_PATCHES]
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
-
-    P, K = NUM_PATCHES, patch_cap
-    k_iota = jnp.arange(K)
-    gidx = jnp.clip(starts[:, None] + k_iota[None, :], 0, n - 1)
-    pmask = k_iota[None, :] < jnp.minimum(counts, K)[:, None]
-    pts = xyz[order[gidx]]                                  # (P,K,3) z-asc
-    pts = pts * pmask[:, :, None]
-
-    # --- seeds: lowest-point representatives (patchworkpp.cpp:528-559) ----
-    lpr_mask = pmask & (k_iota[None, :] < NUM_LPR)
-    lpr_w = lpr_mask.astype(f32)
-    lpr_mean_z = (jnp.sum(pts[:, :, 2] * lpr_w, 1)
-                  / jnp.maximum(jnp.sum(lpr_w, 1), 1e-9))
-    seed = pmask & (pts[:, :, 2] < (lpr_mean_z[:, None] + TH_SEEDS))
-
-    # --- R-GPF: iterative masked PCA plane fit ---------------------------
-    def fit(w):
-        wf = w.astype(f32)
-        tot = jnp.maximum(jnp.sum(wf, 1), 1e-9)
-        mean = jnp.sum(pts * wf[:, :, None], 1) / tot[:, None]
-        c = (pts - mean[:, None, :]) * wf[:, :, None]
-        cov = jnp.einsum("pki,pkj->pij", c, c) / tot[:, None, None]
-        evals, evecs = jnp.linalg.eigh(cov)                 # ascending
-        normal = evecs[:, :, 0]
-        normal = normal * jnp.sign(normal[:, 2:3] + 1e-12)  # point up
-        d = -jnp.sum(normal * mean, axis=1)
-        return normal, d, evals, mean
-
-    inlier = seed
-    for _ in range(NUM_ITER):
-        normal, d, evals, mean = fit(inlier)
-        dist = jnp.abs(jnp.einsum("pki,pi->pk", pts, normal) + d[:, None])
-        inlier = pmask & (dist < TH_DIST)
-
-    # --- A-GLE acceptance -------------------------------------------------
-    zone = _zone_of_patch()
-    e_thr = jnp.asarray(ELEVATION_THR, f32)[zone]
-    f_thr = jnp.asarray(FLATNESS_THR, f32)[zone]
-    upright = jnp.abs(normal[:, 2]) > UPRIGHTNESS_THR
-    elevation = mean[:, 2] + sensor_height                  # vs sensor ground
-    flatness = evals[:, 0] / jnp.maximum(jnp.sum(evals, 1), 1e-12)
-    ok_elev = elevation < e_thr
-    ok_flat = flatness < f_thr
-    has_fit = jnp.sum(inlier.astype(jnp.int32), 1) >= 3
-    ground_patch = has_fit & upright & (ok_elev | ok_flat)
-
-    # A-GLE consensus pass: patchwork++ adapts the elevation gate to
-    # mean+3*std of accepted ground patches (`patchworkpp.cpp:321-358`,
-    # across frames). Functional within-frame version: re-gate against the
-    # per-zone consensus so locally-plausible planes fitted through object
-    # undersides (elevated w.r.t. their zone's true ground) are rejected.
-    acc = (ground_patch & ok_flat).astype(f32)
-    zone_oh = (zone[:, None] == jnp.arange(len(ZONE_RINGS))[None, :])
-    zw = zone_oh.astype(f32) * acc[:, None]                  # (P, zones)
-    z_cnt = jnp.sum(zw, 0)
-    z_mean = jnp.sum(zw * elevation[:, None], 0) / jnp.maximum(z_cnt, 1e-9)
-    z_var = (jnp.sum(zw * (elevation[:, None] - z_mean[None, :]) ** 2, 0)
-             / jnp.maximum(z_cnt, 1e-9))
-    z_std = jnp.sqrt(z_var)
-    consensus = jnp.where(z_cnt >= 4,
-                          z_mean + 3.0 * z_std + 0.05,
-                          jnp.asarray(ELEVATION_THR, f32))
-    e_thr2 = jnp.minimum(e_thr, consensus[zone])
-    ground_patch = has_fit & upright & (
-        (elevation < e_thr2) | (ok_flat & ok_elev))
-
-    # --- classify every point against its patch plane --------------------
-    n_pad = jnp.concatenate([normal, jnp.zeros((1, 3), f32)])
-    d_pad = jnp.concatenate([d, jnp.zeros((1,), f32)])
-    gp_pad = jnp.concatenate([ground_patch, jnp.zeros((1,), bool)])
-    pk = jnp.minimum(key, NUM_PATCHES)
-    dist_all = jnp.abs(jnp.sum(xyz * n_pad[pk], axis=1) + d_pad[pk])
-    return valid & gp_pad[pk] & (dist_all < TH_DIST)
+    """Stateless wrapper: (N,) bool CZM ground mask (adaptive state
+    initialised fresh and discarded — single-frame semantics)."""
+    mask, _ = czm_ground_mask_stateful(
+        xyz, valid, initial_ground_state(),
+        patch_cap=patch_cap, sensor_height=sensor_height)
+    return mask
 
 
 def segment_ground(
@@ -188,14 +410,39 @@ def segment_ground(
     sensor_height: float = 1.723,
     patch_cap: int = 256,
     use_czm: bool = True,
+    state: Optional[GroundState] = None,
 ) -> jnp.ndarray:
     """Non-ground mask, reference semantics (`utils_ground.py:16-32`).
 
     non-ground iff  z > range_z + ground_slack  AND  not CZM-ground.
+    Pass ``state`` (and use :func:`segment_ground_stateful`) to carry the
+    adaptive A-GLE/TGR state across the frames of a sequence.
     """
     above = xyz[:, 2] > (range_z + ground_slack)
     if not use_czm:
         return valid & above
-    czm = czm_ground_mask(xyz, valid, patch_cap=patch_cap,
-                          sensor_height=sensor_height)
-    return valid & above & ~czm
+    if state is None:
+        czm = czm_ground_mask(xyz, valid, patch_cap=patch_cap,
+                              sensor_height=sensor_height)
+        return valid & above & ~czm
+    nonground, _ = segment_ground_stateful(
+        xyz, valid, state, range_z=range_z, ground_slack=ground_slack,
+        sensor_height=sensor_height, patch_cap=patch_cap)
+    return nonground
+
+
+def segment_ground_stateful(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    state: GroundState,
+    *,
+    range_z: float,
+    ground_slack: float,
+    sensor_height: float = 1.723,
+    patch_cap: int = 256,
+) -> Tuple[jnp.ndarray, GroundState]:
+    """Sequence form: non-ground mask + updated adaptive state."""
+    above = xyz[:, 2] > (range_z + ground_slack)
+    czm, new_state = czm_ground_mask_stateful(
+        xyz, valid, state, patch_cap=patch_cap, sensor_height=sensor_height)
+    return valid & above & ~czm, new_state
