@@ -12,6 +12,14 @@ fixed-capacity voxel-deduplicated map buffer -> adaptive threshold update
 Static shapes throughout: the local map is a fixed-capacity masked point
 buffer; voxel dedup is a sort + first-in-voxel mask; the registration solve
 is a Geman-McClure-weighted Kabsch iteration under ``lax.fori_loop``.
+
+Deskewing note (`utils_ego_motion.py:54`): the reference calls
+``compensator.deskew_scan(frame, poses, zeros(len(frame)) + t)`` with ``t``
+the *frame index* — a constant per-point timestamp. KISS-ICP's deskew
+interpolates by relative within-scan timestamps, so a constant vector makes
+it a rigid no-op absorbed by the ICP initial guess; the PCA npz schema
+carries no per-point timestamps for a real deskew to use. Omitting the stage
+is therefore behaviourally faithful (docs/ARCHITECTURE.md).
 """
 
 from __future__ import annotations
@@ -51,14 +59,21 @@ def voxel_downsample_mask(xyz, valid, *, voxel: float):
 @functools.partial(jax.jit, static_argnames=("iters", "tile"))
 def register_frame_icp(source, source_valid, map_pts, map_valid,
                        initial_guess, max_dist, kernel,
-                       *, iters: int = 30, tile: int = 2048):
+                       *, iters: int = 500, tile: int = 2048):
     """Robust point-to-map ICP. Returns the refined (4,4) pose.
 
     Geman-McClure weights w = (k^2 / (k^2 + d^2))^2 with correspondences
-    gated at ``max_dist`` — the registration model of KISS-ICP's C++ core
-    invoked at `utils_ego_motion.py:76-82`.
+    gated at ``max_dist``, iterated until the pose update falls below the
+    estimation threshold (cap ``iters``) — the registration model and
+    termination rule of KISS-ICP's C++ core invoked at
+    `utils_ego_motion.py:76-82` (kiss-icp Registration.cpp:
+    ESTIMATION_THRESHOLD_ 1e-4, MAX_NUM_ITERATIONS_ 500). A fixed low cap
+    stalls on turning motion: self-similar ground/wall correspondences make
+    per-iteration progress small, so convergence — not a round number —
+    must terminate the loop.
     """
-    def body(_, pose):
+    def body(state):
+        pose, _, it = state
         moved = geo.transform_points_batch(source[None], pose[None])[0]
         idx, dist = _knn.masked_nn(moved[None], map_pts[None],
                                    map_valid[None], tile=tile)
@@ -67,9 +82,18 @@ def register_frame_icp(source, source_valid, map_pts, map_valid,
         w_gm = (kernel ** 2 / (kernel ** 2 + dist ** 2)) ** 2
         w = jnp.where((dist <= max_dist) & source_valid, w_gm, 0.0)
         R, t = geo.kabsch(source[None], nn[None], w[None])
-        return geo.rt_to_mat(R, t)[0]
+        new_pose = geo.rt_to_mat(R, t)[0]
+        delta = (jnp.linalg.norm(new_pose[:3, 3] - pose[:3, 3])
+                 + jnp.linalg.norm(new_pose[:3, :3] - pose[:3, :3]))
+        return new_pose, delta, it + 1
 
-    return jax.lax.fori_loop(0, iters, body, initial_guess)
+    def cond(state):
+        _, delta, it = state
+        return (delta > 1e-4) & (it < iters)
+
+    pose, _, _ = jax.lax.while_loop(
+        cond, body, (initial_guess, jnp.float32(1e9), jnp.int32(0)))
+    return pose
 
 
 class EgoOdometry:
@@ -143,9 +167,14 @@ class EgoOdometry:
             self._deviations.append(float(np.linalg.norm(dev[:3, 3])))
 
         # map update: insert downsampled frame in world coords, voxel-dedup,
-        # keep most recent points within capacity
+        # keep most recent points within capacity; prune map points beyond
+        # max_range of the current pose (kiss-icp VoxelHashMap::Update's
+        # RemovePointsFarFromLocation, invoked via `utils_ego_motion.py:85`)
         world = buf[keep_map] @ pose[:3, :3].T + pose[:3, 3]
         old = self._map[self._map_valid]
+        if len(old):
+            old = old[np.linalg.norm(old - pose[:3, 3], axis=1)
+                      <= cfg.ego_max_range]
         allpts = np.concatenate([world, old])[: cfg.ego_map_capacity]
         capn = cfg.ego_map_capacity
         mbuf = np.zeros((capn, 3), np.float32)

@@ -55,3 +55,65 @@ def test_odometry_recovers_constant_motion():
         est_t = odo.poses[k][:3, 3]
         err = np.linalg.norm(est_t - true_poses[k][:3, 3])
         assert err < 0.15, (k, est_t, true_poses[k][:3, 3])
+
+
+def _se3(yaw, t):
+    c, s = np.cos(yaw), np.sin(yaw)
+    T = np.eye(4, dtype=np.float64)
+    T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    T[:3, 3] = t
+    return T
+
+
+def test_odometry_recovers_turning_motion():
+    """Rotation + translation (a turning vehicle): the Kabsch-based
+    registration must recover yaw, and the adaptive threshold path runs
+    under real motion. Ref `utils_ego_motion.py:51-87` (KISS-ICP)."""
+    rng = np.random.default_rng(1)
+    world = make_world(rng, n=8000)
+    cfg = DEMO.replace(max_points_scene=16384, ego_map_capacity=32768,
+                       nn_tile=512)
+    odo = EgoOdometry(cfg)
+    true_poses = [np.eye(4)]
+    # incremental motion: forward 1.1 m + 0.06 rad yaw per frame
+    for k in range(5):
+        pose = true_poses[-1] @ _se3(0.06, [1.1, 0.05, 0.0])
+        true_poses.append(pose)
+    true_poses = true_poses[:5]
+    for k in range(5):
+        Tinv = np.linalg.inv(true_poses[k])
+        scan = world @ Tinv[:3, :3].T + Tinv[:3, 3]
+        noise = rng.normal(scale=0.01, size=scan.shape)
+        odo.register_frame((scan + noise).astype(np.float32))
+    for k in (1, 2, 3, 4):
+        est = odo.poses[k]
+        gt = true_poses[k]
+        t_err = np.linalg.norm(est[:3, 3] - gt[:3, 3])
+        R_err = est[:3, :3] @ gt[:3, :3].T
+        yaw_err = abs(np.arctan2(R_err[1, 0], R_err[0, 0]))
+        assert t_err < 0.2, (k, t_err)
+        assert yaw_err < 0.02, (k, yaw_err)
+
+
+def test_map_range_pruning_bounds_memory():
+    """Long-sequence map eviction: points far behind the sensor are pruned
+    (kiss-icp RemovePointsFarFromLocation), so the map never silently
+    saturates its capacity with stale geometry."""
+    rng = np.random.default_rng(2)
+    world = make_world(rng, n=4000)
+    cfg = DEMO.replace(max_points_scene=8192, ego_map_capacity=16384,
+                       nn_tile=512, ego_max_range=48.0)
+    odo = EgoOdometry(cfg)
+    for k in range(6):
+        t = np.array([12.0 * k, 0, 0])
+        scan = (world - t).astype(np.float32)
+        r = np.linalg.norm(scan[:, :2], axis=1)
+        odo.register_frame(scan[r < 40.0]
+                           + rng.normal(scale=0.01, size=(int((r < 40).sum()),
+                                                          3)).astype(
+                               np.float32))
+        pose_t = odo.poses[-1][:3, 3]
+        mp = odo._map[odo._map_valid]
+        if len(mp):
+            assert (np.linalg.norm(mp - pose_t, axis=1)
+                    <= cfg.ego_max_range + 1e-3).all()
