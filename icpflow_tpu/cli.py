@@ -142,11 +142,15 @@ def run(args) -> dict:
                 return path.replace(folder, folder + suffix)
         return path.replace(".npz", suffix + ".npz")
 
+    # native prefetch plane: npz decode for sample k+1..k+depth overlaps the
+    # device compute of sample k (PrefetchIterMixin / native PrefetchPool)
+    pending = []
     for k in range(n_samples):
         if args.resume and ds.seq_paths[k] in completed:
             print(f"Skipping sample {k} (resume: already scored)")
             continue
-        data, pairs = ds[k]
+        pending.append(k)
+    for k, data, pairs in ds.iter_samples(pending):
         ego_poses = data["ego_poses"]
         ti = data["time_indice"]
         flows = [np.zeros((int((ti == 0).sum()), 3), np.float32)]

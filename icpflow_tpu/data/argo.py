@@ -37,7 +37,10 @@ BACKGROUND_CATEGORIES = [
 ]
 
 
-class DatasetArgo:
+from .loading import PrefetchIterMixin
+
+
+class DatasetArgo(PrefetchIterMixin):
     """AV2 ZeroFlow-export dataset; identity ego, clustering via engine."""
 
     def __init__(self, cfg: PipelineConfig, root: str, split: str):
@@ -54,7 +57,9 @@ class DatasetArgo:
 
     def load_raw(self, path: str) -> Dict[str, np.ndarray]:
         from .native_loader import load_npz
-        d = load_npz(path)
+        return self._raw_from_dict(load_npz(path), path)
+
+    def _raw_from_dict(self, d, path: str) -> Dict[str, np.ndarray]:
         pcl0 = d["pc1"][d["pc1_flows_valid_idx"]]
         pcl1 = d["pc2"][d["pc2_flows_valid_idx"]]
         flow01 = d["gt_flow_0_1"][d["pc1_flows_valid_idx"]]
@@ -80,9 +85,8 @@ class DatasetArgo:
             "data_path": path,
         }
 
-    def __getitem__(self, idx: int):
+    def _prepare(self, data):
         from .pca import DatasetPCA
-        data = self.load_raw(self.seq_paths[idx])
         data["ego_poses"] = data["ego_motion_gt"]
         # AV2 exports are already ground-filtered; all points non-ground
         # (dataset_argo.py:140)
@@ -90,3 +94,6 @@ class DatasetArgo:
         pairs = DatasetPCA.cluster_pairs(self, data, data["ego_poses"],
                                          nonground)
         return data, pairs
+
+    def __getitem__(self, idx: int):
+        return self._prepare(self.load_raw(self.seq_paths[idx]))

@@ -28,3 +28,31 @@ def reconstruct_sequence(points, time_indice, inst_labels, tsfm, n_frames):
     idx = (inst_labels * n_frames + time_indice).astype(int)
     T = tsfm.reshape(-1, 4, 4)[idx]
     return np.einsum("nij,nj->ni", T[:, :3, :3], points[:, :3]) + T[:, :3, 3]
+
+
+class PrefetchIterMixin:
+    """Prefetched sample iteration for the dataset classes.
+
+    The reference overlaps preprocessing with GPU compute via DataLoader
+    worker processes (`main.py:160-171`); here the native PrefetchPool
+    (`native/npz_reader.cc`) decodes npz samples on background threads while
+    the device runs the previous sample's matcher, and the Python side does
+    crop/GT/cluster work on the decoded dict. Datasets provide
+    ``_raw_from_dict(d, path)`` and ``_prepare(data)``.
+    """
+
+    def iter_samples(self, indices=None, workers: int = 4, depth: int = 4):
+        """Yield (global_idx, data, pairs) with host decode prefetched."""
+        from .native_loader import PrefetchPool
+
+        if indices is None:
+            indices = range(len(self.seq_paths))
+        indices = list(indices)
+        paths = [self.seq_paths[i] for i in indices]
+        pool = PrefetchPool(paths, workers=workers, depth=depth)
+        try:
+            for k, d in zip(indices, pool):
+                data = self._raw_from_dict(d, self.seq_paths[k])
+                yield (k,) + self._prepare(data)
+        finally:
+            pool.close()

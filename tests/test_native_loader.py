@@ -72,3 +72,32 @@ def test_crop_pad_matches_numpy(lib):
     assert valid.sum() == min(k, 16384)
     assert np.isfinite(out).all()
     assert (out[~valid] == 0).all()
+
+
+def test_iter_samples_prefetched_matches_getitem(tmp_path):
+    """The CLI's prefetched iteration must yield exactly what indexed access
+    yields (same decode + preprocessing), in order, honoring the index list."""
+    from test_cli_pca import make_pca_npz
+    from icpflow_tpu.config import PRESETS
+    from icpflow_tpu.data.pca import DatasetPCA
+
+    for i in range(3):
+        make_pca_npz(str(tmp_path / f"s{i}.npz"), num_frames=2, seed=i)
+    cfg = PRESETS["waymo"].replace(
+        num_frames=2, max_points_scene=16384, max_points=1024,
+        num_clusters=64, min_cluster_size=8, range_z=-0.35)
+    ds = DatasetPCA(cfg, str(tmp_path), "test")
+    assert len(ds) == 3
+
+    got = list(ds.iter_samples([2, 0]))
+    assert [g[0] for g in got] == [2, 0]
+    for k, data, pairs in got:
+        data_ref, pairs_ref = ds[k]
+        np.testing.assert_array_equal(data["raw_points"],
+                                      data_ref["raw_points"])
+        np.testing.assert_array_equal(data["scene_flow"],
+                                      data_ref["scene_flow"])
+        assert len(pairs) == len(pairs_ref)
+        for p, pr in zip(pairs, pairs_ref):
+            np.testing.assert_array_equal(p["label_src"], pr["label_src"])
+            np.testing.assert_array_equal(p["point_src"], pr["point_src"])
