@@ -121,3 +121,17 @@ def test_cli_pca_multiframe(tmp_path):
         cli.config_from_args = orig
     assert epes["overall_0"] < 0.1
     assert epes["overall_2"] < 0.15      # per-frame gap-2 metric exists
+
+
+def test_shipped_split_manifests():
+    """The reference's exact waymo/nuscene splits ship with the repo
+    (assets/configs/datasets, 4031/2974 test seqs) and resolve from any cwd;
+    a root that doesn't contain the manifest files falls back to globbing."""
+    import numpy as np
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, n in (("waymo", 4031), ("nuscene", 2974)):
+        path = os.path.join(repo, "assets/configs/datasets", name,
+                            "test_info.txt")
+        names = np.loadtxt(path, dtype=str)
+        assert len(names) == n
+        assert names[0].startswith(f"/{name}")
