@@ -2,9 +2,11 @@
 
 Replacement surface for `utils_visualization.py` (Open3D/plotly viewers) and
 `utils_debug.py:22-93` (per-frame metric printout): headless-friendly
-matplotlib projections by default, plotly if available. All viewers accept
-plain numpy arrays and are no-ops when the backend is missing, so the
-pipeline never takes a hard dependency on a GUI stack.
+matplotlib projections here; the interactive 3D viewer with per-label hover
+annotations (the reference's `visualize_pcd_plotly`) lives in
+`utils/viz3d.py` as a self-contained HTML emitter. All viewers accept plain
+numpy arrays and are no-ops when the backend is missing, so the pipeline
+never takes a hard dependency on a GUI stack.
 """
 
 from __future__ import annotations

@@ -65,3 +65,25 @@ def test_streaming_reset():
     assert eng.process(scan) is not None
     eng.reset()
     assert eng.process(scan) is None
+
+
+def test_viz3d_html_self_contained(tmp_path):
+    """3D viewer parity (utils_visualization.py:95-145): per-label traces,
+    hover annotations, ground/noise sentinels, no hard plotly dependency."""
+    import numpy as np
+    from icpflow_tpu.utils.viz3d import (visualize_pcd_3d,
+                                         visualize_registration_3d)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2000, 3)).astype(np.float32)
+    lab = rng.integers(-1, 4, 2000).astype(np.int64)
+    lab[:50] = -10 ** 8
+    flow = rng.normal(scale=0.1, size=(2000, 3)).astype(np.float32)
+    p = visualize_pcd_3d(pts, lab, path=str(tmp_path / "v.html"), flow=flow)
+    html = open(p).read()
+    for needle in ("scatter3d", "hovertemplate", "ground", "noise",
+                   "label 0", "|flow|"):
+        assert needle in html, needle
+    q = visualize_registration_3d(pts[:300], pts[300:600],
+                                  np.eye(4, dtype=np.float32),
+                                  path=str(tmp_path / "r.html"))
+    assert "scatter3d" in open(q).read()
