@@ -91,3 +91,60 @@ def test_sharded_step_recovers_motion():
     err = np.linalg.norm(flow - gt, axis=-1)
     valid = np.asarray(batch[1])
     assert err[valid].mean() < 0.1
+
+
+def test_sharded_step_realistic_buckets():
+    """Sharded equality at realistic bucket geometry (8k-point scenes,
+    1k-point segments, both pair buckets exercised) — the toy-scale tests
+    above cannot catch bucket-boundary bugs in the cp sharding."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = DEMO.replace(
+        max_points_scene=8192,
+        max_points=1024,
+        max_points_small=128,
+        pairs_small=32,
+        pairs_large=8,
+        num_clusters=16,
+        max_pairs=32,
+        min_cluster_size=5,
+        nn_tile=256,
+        hist_grid_xy=64,
+        icp_max_iters=8,
+        epsilon=0.4,
+    )
+    rng = np.random.default_rng(3)
+    b = 2
+    n = cfg.max_points_scene
+    pts_s = np.zeros((b, n, 3), np.float32)
+    pts_d = np.zeros((b, n, 3), np.float32)
+    lab = np.full((b, n), -1, np.int32)
+    valid = np.zeros((b, n), bool)
+    gt = np.zeros((b, n, 3), np.float32)
+    for i in range(b):
+        pos = 0
+        for li, sz in enumerate((700, 400, 90, 60)):   # large + small buckets
+            c = rng.uniform(-8, 8, size=3).astype(np.float32)
+            cloud = c + rng.uniform(-1, 1, (sz, 3)).astype(np.float32)
+            shift = (np.array([1.0 + 0.3 * li, -0.4, 0.0], np.float32)
+                     if li % 2 else np.zeros(3, np.float32))
+            pts_s[i, pos:pos + sz] = cloud
+            pts_d[i, pos:pos + sz] = cloud + shift
+            lab[i, pos:pos + sz] = li
+            gt[i, pos:pos + sz] = shift
+            pos += sz
+        valid[i, :pos] = True
+    batch = (jnp.asarray(pts_s), jnp.asarray(valid), jnp.asarray(lab),
+             jnp.asarray(pts_d), jnp.asarray(valid), jnp.asarray(lab),
+             jnp.asarray(gt))
+    mesh = make_mesh(2, 2)
+    step = make_sharded_step(mesh, cfg)
+    flow, transforms, sums = step(*batch, jnp.float32(6.0))
+    flow = np.asarray(flow)
+    for i in range(b):
+        one = [a[i] for a in batch]
+        f1, _, _ = _frame_pair_step(*one, jnp.float32(6.0), cfg, None, 1)
+        np.testing.assert_allclose(flow[i], np.asarray(f1),
+                                   rtol=1e-4, atol=1e-4)
+    err = np.linalg.norm(flow - np.asarray(batch[6]), axis=-1)
+    assert err[np.asarray(batch[1])].mean() < 0.1
