@@ -24,3 +24,18 @@ def test_pallas_nn_matches_xla_interpreted():
         - np.take_along_axis(np.asarray(dst), np.asarray(i2)[:, :, None], 1),
         axis=-1)
     np.testing.assert_allclose(picked, np.asarray(d1), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_nn_vpu_variant_matches_xla_interpreted():
+    """The default (elementwise/VPU) kernel variant against the XLA path."""
+    rng = np.random.default_rng(1)
+    B, N, M = 2, 256, 384
+    src = jnp.asarray(rng.uniform(-20, 20, (B, N, 3)).astype(np.float32))
+    dst = jnp.asarray(rng.uniform(-20, 20, (B, M, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, M)) > 0.3)
+    i1, d1 = _masked_nn_xla(src, dst, mask, tile=128)
+    for variant in ("vpu", "mxu"):
+        i2, d2 = masked_nn_pallas(src, dst, mask, tn=128, tm=128,
+                                  interpret=True, variant=variant)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-4, atol=1e-4)
