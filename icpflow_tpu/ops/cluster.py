@@ -141,13 +141,21 @@ def dbscan(
         # ``edges_per_cell`` within-eps candidates of EVERY neighboring cell
         # (not the globally-first ones) — same-cell candidates would otherwise
         # starve the cross-cell links that connect clusters spanning cells.
+        # Selection via occurrence rank (cumsum) + argmax per rank: O(K)
+        # scans instead of the O(K log K) per-(row, cell) argsort that
+        # dominated this pass.
         w3 = w3c
-        sel = jnp.argsort(~w3, axis=2, stable=True)[:, :, :edges_per_cell]
         p3 = pos.reshape(tile, n_off, cell_cap)
-        e_pos = jnp.take_along_axis(p3, sel, axis=2)
-        e_ok = jnp.take_along_axis(w3, sel, axis=2)
-        e_pos = jnp.where(e_ok, e_pos, n)                    # n == "no edge"
-        return count, e_pos.reshape(tile, n_off * edges_per_cell)
+        rank = jnp.cumsum(w3.astype(jnp.int32), axis=2)
+        e_list = []
+        for e in range(edges_per_cell):
+            hit = w3 & (rank == e + 1)                       # (T,27,K) one-hot
+            has = jnp.any(hit, axis=2)
+            idx_e = jnp.argmax(hit, axis=2)                  # (T,27)
+            e_pos = jnp.take_along_axis(p3, idx_e[:, :, None], axis=2)[..., 0]
+            e_list.append(jnp.where(has, e_pos, n))          # n == "no edge"
+        return count, jnp.stack(e_list, axis=2).reshape(
+            tile, n_off * edges_per_cell)
 
     counts, edges = jax.lax.map(tile_pass, jnp.arange(nt))
     counts = counts.reshape(-1)[:n]
