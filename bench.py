@@ -9,12 +9,38 @@ for this (`README.md:56`); its shipped prediction for this exact sample
 
 Throughput metric: scan_pairs_per_sec for the device pipeline (joint
 clustering + segment extraction + two-stage hist/ICP matching + flow
-assembly, all on-chip, steady state). Host npz load and host<->device
-transfers are reported separately (`host_io_s`) — in this harness the chip
-sits behind a network tunnel, so transfer time measures the tunnel, not the
-framework. vs_baseline is against BASELINE_PAIRS_PER_SEC = 1.0, a generous
-estimate of the reference pipeline's single-GPU rate on this sample (the
-repo reports runtime only as total wall-hours per run, `main.py:313-314`).
+assembly, all on-chip, steady state), median of REPS measurement reps
+(min/max reported as `pairs_per_sec_min/max` — the tunnel-attached chip has
+real run-to-run variance). Host npz load and host<->device transfers are
+reported separately (`host_io_s`): the chip sits behind a network tunnel, so
+transfer time measures the tunnel, not the framework.
+
+vs_baseline: BASELINE_PAIRS_PER_SEC = 10.0 scan-pairs/s, a *generous* upper
+bound for the reference. The reference publishes no throughput numbers
+(runtime only as total wall-hours, `main.py:313-314`); its README states
+ICP-Flow itself is not real-time-capable — only the distilled ICP-Flow+FNN
+is (`README.md:16,82-84`). Real-time for a 10 Hz lidar is 10 pairs/s, so the
+reference is strictly below that bar on its own GPU; we credit it the full
+10.
+
+Extra diagnostics in the line:
+  * per-stage device timings (`stage_*_ms`): cluster / segment-extract /
+    match (hist+ICP+gates) / flow at the real jit boundaries, plus hot-kernel
+    micro-benches (`kern_*_ms`) for the histogram init and batched ICP at the
+    exact bucket shapes the matcher runs (256 pairs x 512 pts small bucket,
+    32 x 4096 large bucket).
+  * `track_gflops` / `mfu_bf16_peak`: XLA cost-analysis FLOPs of the matcher
+    program per pair, and utilisation vs the chip's 197 TFLOP/s bf16 peak
+    (honest denominator: the NN matmuls run at HIGHEST precision, which is
+    3-pass bf16, so the fp32-equivalent ceiling is ~1/3 of that).
+  * held-out accuracy (`heldout_*`): multi-frame synthetic lidar scenes
+    (data/synthetic.py; rotating + translating movers, waymo-like gaps 1-4
+    and nuScenes-like gaps 1-10) evaluated through the same DatasetPCA path
+    as real data, with the same config as the demo run — accuracy evidence
+    off the tuning fixture. The reference's eval protocol is replicated:
+    dynamic/static split by sd labels and the PCAccumulation crop
+    (`utils_eval.py:24-63`) that excludes the sub-ground-threshold z-band
+    from the metrics. Details are written to ACCURACY.json.
 """
 
 import json
@@ -28,13 +54,15 @@ import jax.numpy as jnp
 from icpflow_tpu import SceneFlowEngine, DEMO
 from icpflow_tpu.data.demo import load_demo_npz
 
-BASELINE_PAIRS_PER_SEC = 1.0
+BASELINE_PAIRS_PER_SEC = 10.0  # README.md:16,82-84: reference < 10 Hz real-time bar
 DEMO_PATH = "/root/reference/demo.npz"
+PEAK_BF16_FLOPS = 197e12       # TPU v5e per-chip bf16 peak
+REPS = 3
+ITERS = 10
 
 
-def main():
-    data = load_demo_npz(DEMO_PATH)
-    cfg = DEMO.replace(
+def make_cfg():
+    return DEMO.replace(
         max_points_scene=131072,
         max_points=4096,
         num_clusters=200,
@@ -47,6 +75,129 @@ def main():
         eps_scale_per_m=0.012,
         eps_max=0.8,
     )
+
+
+def device_metrics(flow_dev, gt_dev, valid, dyn=None):
+    """EPE stats computed ON DEVICE: a single MB-scale fetch through the
+    tunnelled chip can take minutes, so only scalars cross the host boundary.
+
+    ``dyn``: optional (N,) bool of truly-dynamic points (sd labels,
+    `utils_eval.py:185+` category semantics). Without it the split falls
+    back to ||gt||>0.05 — valid only when gt is motion-only flow (the
+    ego-compensated demo fixture); raw-frame GT flow includes ego motion
+    and would classify everything as dynamic."""
+    err = jnp.linalg.norm(flow_dev - gt_dev, axis=-1)
+    w = valid.astype(err.dtype)
+    sf = jnp.linalg.norm(gt_dev, axis=-1)
+    rel = err / (sf + 1e-20)
+    is_dyn = (sf > 0.05) if dyn is None else dyn
+    dyn_w = w * is_dyn
+    stat_w = w * ~is_dyn
+    accs_pt = ((err < 0.05) | (rel < 0.05)).astype(err.dtype)
+    return jnp.stack([
+        jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1),
+        jnp.sum(err * dyn_w) / jnp.maximum(jnp.sum(dyn_w), 1),
+        jnp.sum(accs_pt * w) / jnp.maximum(jnp.sum(w), 1),
+        jnp.sum(err * stat_w) / jnp.maximum(jnp.sum(stat_w), 1)])
+
+
+def time_op(fn, iters=ITERS):
+    """Median-of-one wall time per call, first call excluded (compile)."""
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def heldout_eval(cfg):
+    """Held-out accuracy: synthetic multi-frame scenes through DatasetPCA.
+
+    Same protocol as a real Waymo-style run (`main.py:184-285`): ground
+    removal, joint clustering per frame pair, gap-scaled translation_frame,
+    flow vs reconstructed GT. Scenes were never used for tuning (seeds 7, 8).
+    """
+    import os
+    import tempfile
+    from icpflow_tpu.data.synthetic import make_sample
+    from icpflow_tpu.data.pca import DatasetPCA
+    from icpflow_tpu.metrics import crop_for_eval
+
+    # two protocols, same compiled programs (only host-side fields differ):
+    # waymo-like 5-frame (gaps 1-4) and nuScenes-like 11-frame (gaps 1-10,
+    # slower movers, main.sh:24-29 cadence)
+    base = cfg.replace(dataset="waymo", range_x=32.0, range_y=32.0,
+                       range_z=-1.6, ground_slack=0.3)
+    protocols = [("waymo_like", base.replace(num_frames=5), (7, 8)),
+                 ("nuscene_like",
+                  base.replace(num_frames=11, speed=0.833333), (9,))]
+    out = {"gaps": {}, "scenes": []}
+    per_gap_err = {}
+    with tempfile.TemporaryDirectory() as td:
+        for proto, hcfg, seeds in protocols:
+          for seed in seeds:
+            path = os.path.join(td, f"scene{proto}{seed}.npz")
+            make_sample(path, num_frames=hcfg.num_frames, seed=seed)
+            ds = DatasetPCA(hcfg, td, "test")
+            ds.seq_paths = [path]
+            data, pairs = ds[0]
+            engine = SceneFlowEngine(hcfg)
+            ti = data["time_indice"]
+            for j, pair in enumerate(pairs, start=1):
+                gt = data["scene_flow"][ti == j]
+                sd = data["sd_labels"][ti == j]
+                dyn_pad = np.zeros((hcfg.max_points_scene,), bool)
+                dyn_pad[: len(sd)] = sd > 0
+                p_src, v_src, l_src = engine.pad_cloud(
+                    pair["point_src"], pair["label_src"])
+                p_dst, v_dst, l_dst = engine.pad_cloud(
+                    pair["point_dst"], pair["label_dst"])
+                gt_pad = np.zeros((hcfg.max_points_scene, 3), np.float32)
+                gt_pad[: len(gt)] = gt
+                tf = hcfg.translation_frame(j)
+                outp = engine.track_pair(
+                    jnp.asarray(p_src), jnp.asarray(v_src), jnp.asarray(l_src),
+                    jnp.asarray(p_dst), jnp.asarray(v_dst), jnp.asarray(l_dst),
+                    tf)
+                # flow maps frame-j ego-aligned points back to frame 0; GT is
+                # (frame-0 reconstruction - raw), so compose with the ego step
+                pose = np.asarray(data["ego_poses"][j], np.float32)
+                raw_j = data["raw_points"][ti == j, :3]
+                raw_pad = np.zeros((hcfg.max_points_scene, 3), np.float32)
+                raw_pad[: len(raw_j)] = raw_j
+                flow = engine.flow(jnp.asarray(raw_pad), jnp.asarray(l_src),
+                                   outp.result.transforms, pose)
+                # reference eval protocol (utils_eval.py:24-63): the z-band
+                # at/below the ground threshold is cropped out of the
+                # metrics — the pipeline removed it as ground by design
+                eval_w = np.array(v_src)
+                eval_w[: len(raw_j)] &= crop_for_eval(
+                    raw_j, range_x=hcfg.range_x, range_y=hcfg.range_y,
+                    range_z=hcfg.range_z, ground_slack=hcfg.ground_slack,
+                    eval_ground=False)
+                m = np.asarray(device_metrics(
+                    flow, jnp.asarray(gt_pad), jnp.asarray(eval_w),
+                    dyn=jnp.asarray(dyn_pad)))
+                rec = {"protocol": proto, "seed": seed, "gap": j,
+                       "epe3d": round(float(m[0]), 5),
+                       "epe3d_dynamic": round(float(m[1]), 5),
+                       "acc3ds": round(float(m[2]), 5),
+                       "epe3d_static": round(float(m[3]), 5)}
+                out["scenes"].append(rec)
+                per_gap_err.setdefault((proto, j), []).append(
+                    (float(m[0]), float(m[1])))
+    for (proto, gap), vals in sorted(per_gap_err.items()):
+        out["gaps"][f"{proto}_{gap}"] = {
+            "epe3d": round(float(np.mean([v[0] for v in vals])), 5),
+            "epe3d_dynamic": round(float(np.mean([v[1] for v in vals])), 5)}
+    return out
+
+
+def main():
+    data = load_demo_npz(DEMO_PATH)
+    cfg = make_cfg()
     engine = SceneFlowEngine(cfg)
 
     t0 = time.time()
@@ -62,41 +213,105 @@ def main():
     host_io_in = time.time() - t0
 
     def device_pipeline():
-        lab_dst, lab_src = engine.cluster_joint(jpd, jvd, jps, jvs)
-        out = engine.track_pair(jps, jvs, lab_src, jpd, jvd, lab_dst, 2.0)
-        flow = engine.flow(jps, lab_src, out.result.transforms,
-                           np.eye(4, dtype=np.float32))
-        return flow, out
+        # one fused XLA program per pair (cluster+match+flow): separate
+        # dispatches cost ~0.1 ms launch overhead each at this scale
+        fused = engine.run_pair(jps, jvs, jpd, jvd, 2.0)
+        return fused.flow, fused.track
 
     t0 = time.time()
     flow, out = device_pipeline()
     jax.block_until_ready(flow)
     compile_and_first = time.time() - t0
 
-    iters = 10
-    t0 = time.time()
-    for _ in range(iters):
-        flow, out = device_pipeline()
-    jax.block_until_ready(flow)
-    dt = (time.time() - t0) / iters
-    pairs_per_sec = 1.0 / dt
+    # ---- throughput: median of REPS reps of ITERS pipeline iterations ----
+    rates = []
+    for _ in range(REPS):
+        t0 = time.time()
+        for _ in range(ITERS):
+            flow, out = device_pipeline()
+        jax.block_until_ready(flow)
+        rates.append(ITERS / (time.time() - t0))
+    pairs_per_sec = float(np.median(rates))
+    dt = 1.0 / pairs_per_sec
 
-    # metrics computed ON DEVICE: a single MB-scale fetch through the
-    # tunnelled chip can take minutes, so only scalars cross the host boundary
-    def device_metrics(flow_dev, gt_dev):
-        err = jnp.linalg.norm(flow_dev - gt_dev, axis=-1)
-        w = jvs.astype(err.dtype)
-        sf = jnp.linalg.norm(gt_dev, axis=-1)
-        rel = err / (sf + 1e-20)
-        dyn_w = w * (sf > 0.05)
-        accs_pt = ((err < 0.05) | (rel < 0.05)).astype(err.dtype)
-        return jnp.stack([
-            jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1),
-            jnp.sum(err * dyn_w) / jnp.maximum(jnp.sum(dyn_w), 1),
-            jnp.sum(accs_pt * w) / jnp.maximum(jnp.sum(w), 1)])
+    # ---- per-stage timings at the real jit boundaries --------------------
+    lab_dst, lab_src = engine.cluster_joint(jpd, jvd, jps, jvs)
+    jax.block_until_ready((lab_dst, lab_src))
+    t_cluster = time_op(lambda: engine.cluster_joint(jpd, jvd, jps, jvs))
 
+    from icpflow_tpu.ops.segments import extract_segments
+    import functools
+    extract = jax.jit(functools.partial(
+        extract_segments, num_labels=cfg.num_clusters,
+        max_points=cfg.max_points))
+    t_extract = 2 * time_op(lambda: extract(jps, lab_src, jvs))  # src + dst
+
+    t_track = time_op(
+        lambda: engine.track_pair(jps, jvs, lab_src, jpd, jvd, lab_dst, 2.0))
+    t_flow = time_op(
+        lambda: engine.flow(jps, lab_src, out.result.transforms,
+                            np.eye(4, dtype=np.float32)))
+
+    # ---- hot-kernel micro-benches at the matcher's bucket shapes ---------
+    from icpflow_tpu.ops import hist as _hist, icp as _icp
+    rng = np.random.default_rng(0)
+    kern = {}
+    for name, (b, n) in {"small": (cfg.pairs_small, cfg.max_points_small),
+                         "large": (cfg.pairs_large, cfg.max_points)}.items():
+        a = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+        bb = a + 0.3
+        msk = jnp.ones((b, n), bool)
+        kern[f"hist_{name}"] = time_op(
+            lambda a=a, bb=bb, msk=msk: _hist.estimate_init_translation(
+                a, msk, bb, msk, 2.0, bin_w=cfg.hist_bin,
+                lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
+                topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
+                eval_tile=cfg.nn_tile))
+        init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        kern[f"icp_{name}"] = time_op(
+            lambda a=a, bb=bb, msk=msk, init=init: _icp.apply_icp(
+                a, msk, bb, msk, init, thres=cfg.thres_dist,
+                max_iters=cfg.icp_max_iters, rel_rmse=cfg.icp_rel_rmse,
+                tile=cfg.nn_tile))
+
+    # ---- Pallas NN kernel: on-chip correctness + variant timing ----------
+    # (kernel correctness asserted where it actually runs — the interpret
+    # tests only cover CPU semantics)
+    from icpflow_tpu.ops.knn import _masked_nn_xla
+    from icpflow_tpu.ops.pallas.nn_kernel import masked_nn_pallas
+    a = jnp.asarray(rng.normal(size=(32, 2048, 3)).astype(np.float32) * 10)
+    bb = jnp.asarray(rng.normal(size=(32, 2048, 3)).astype(np.float32) * 10)
+    msk = jnp.asarray(rng.random((32, 2048)) > 0.2)
+    _, d_xla = _masked_nn_xla(a, bb, msk, tile=512)
+    nn_ms = {}
+    pallas_err = 0.0
+    for variant in ("vpu", "mxu"):
+        _, d_p = masked_nn_pallas(a, bb, msk, variant=variant)
+        err = float(jnp.max(jnp.abs(d_p - d_xla)))
+        assert err < 1e-3, f"pallas {variant} vs xla: {err}"
+        pallas_err = max(pallas_err, err)
+        nn_ms[variant] = time_op(
+            lambda v=variant: masked_nn_pallas(a, bb, msk, variant=v))
+
+    # ---- FLOPs / MFU of the matcher program ------------------------------
+    track_gflops = mfu = -1.0
+    try:
+        from icpflow_tpu.models.icp_flow import _track_pair_impl
+        lowered = _track_pair_impl.lower(
+            jps, jvs, lab_src, jpd, jvd, lab_dst,
+            jnp.float32(2.0), cfg)
+        ca = lowered.compile().cost_analysis()
+        if ca:
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            track_gflops = float(ca.get("flops", -1)) / 1e9
+            if track_gflops > 0:
+                mfu = (track_gflops * 1e9 / t_track) / PEAK_BF16_FLOPS
+    except Exception:
+        pass
+
+    # ---- accuracy on the demo fixture ------------------------------------
     t0 = time.time()
-    m = np.asarray(device_metrics(flow, jgt))
+    m = np.asarray(device_metrics(flow, jgt, jvs))
     host_io_out = time.time() - t0
     epe, epe_dyn, accs = float(m[0]), float(m[1]), float(m[2])
     n_matched = int(np.asarray(out.result.matched).sum())
@@ -110,24 +325,53 @@ def main():
     out4 = engine.track_pair(jps, jvs, lab_s4, jp4, jvs, lab_d4, 8.0)
     flow4 = engine.flow(jps, lab_s4, out4.result.transforms,
                         np.eye(4, dtype=np.float32))
-    m4 = np.asarray(device_metrics(flow4, jgt4))
+    m4 = np.asarray(device_metrics(flow4, jgt4, jvs))
     epe_gap4_dyn = float(m4[1])
+
+    # ---- held-out synthetic accuracy (off the tuning fixture) ------------
+    heldout = heldout_eval(cfg)
+    with open("ACCURACY.json", "w") as f:
+        json.dump({"demo": {"epe3d": round(epe, 5),
+                            "epe3d_dynamic": round(epe_dyn, 5),
+                            "acc3ds": round(accs, 5),
+                            "epe3d_dynamic_gap4x": round(epe_gap4_dyn, 5)},
+                   "heldout_synthetic": heldout}, f, indent=1)
+    ho_gaps = heldout["gaps"]
+    ho_g1 = ho_gaps.get("waymo_like_1", {}).get("epe3d_dynamic", -1)
+    ho_g4 = ho_gaps.get("waymo_like_4", {}).get("epe3d_dynamic", -1)
 
     print(json.dumps({
         "metric": "scan_pairs_per_sec",
         "value": round(pairs_per_sec, 4),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 4),
+        "pairs_per_sec_min": round(min(rates), 1),
+        "pairs_per_sec_max": round(max(rates), 1),
         "epe3d": round(epe, 5),
         "epe3d_dynamic": round(epe_dyn, 5),
         "acc3ds": round(accs, 5),
         "ref_epe3d": 0.01145,
         "ref_epe3d_dynamic": 0.12479,
-        "sec_per_pair": round(dt, 4),
+        "sec_per_pair": round(dt, 5),
+        "stage_cluster_ms": round(t_cluster * 1e3, 3),
+        "stage_extract_ms": round(t_extract * 1e3, 3),
+        "stage_match_ms": round(t_track * 1e3, 3),
+        "stage_flow_ms": round(t_flow * 1e3, 3),
+        "kern_hist_small_ms": round(kern["hist_small"] * 1e3, 3),
+        "kern_icp_small_ms": round(kern["icp_small"] * 1e3, 3),
+        "kern_hist_large_ms": round(kern["hist_large"] * 1e3, 3),
+        "kern_icp_large_ms": round(kern["icp_large"] * 1e3, 3),
+        "kern_nn_vpu_ms": round(nn_ms["vpu"] * 1e3, 3),
+        "kern_nn_mxu_ms": round(nn_ms["mxu"] * 1e3, 3),
+        "pallas_xla_max_err": round(pallas_err, 6),
+        "track_gflops": round(track_gflops, 2),
+        "mfu_bf16_peak": round(mfu, 4),
         "compile_s": round(compile_and_first, 1),
         "host_io_s": round(host_io_in + host_io_out, 2),
         "n_pairs_matched": n_matched,
         "epe3d_dynamic_gap4x": round(epe_gap4_dyn, 5),
+        "heldout_dyn_epe_gap1": ho_g1,
+        "heldout_dyn_epe_gap4": ho_g4,
         "device": str(jax.devices()[0]),
     }))
 

@@ -43,6 +43,43 @@ def _track_pair_impl(pts_src, valid_src, labels_src,
     return TrackOutput(result, seg_src, seg_dst)
 
 
+class FusedPairOutput(NamedTuple):
+    flow: jnp.ndarray         # (N_src, 3)
+    track: "TrackOutput"
+    lab_src: jnp.ndarray      # (N_src,) int32
+    lab_dst: jnp.ndarray      # (N_dst,) int32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _run_pair_fused_impl(pts_src, valid_src, pts_dst, valid_dst,
+                         translation_frame, pose,
+                         cfg: PipelineConfig) -> "FusedPairOutput":
+    """Whole per-pair pipeline (joint DBSCAN -> match -> flow) as ONE XLA
+    program. Separate cluster/track/flow dispatches cost ~0.1 ms of launch
+    overhead each through the tunnel-attached runtime (~25% of the per-pair
+    budget at demo scale); one program amortises that and lets XLA overlap
+    the stage boundaries."""
+    pts = jnp.concatenate([pts_dst, pts_src], axis=0)
+    valid = jnp.concatenate([valid_dst, valid_src], axis=0)
+    labels = _cluster.dbscan(
+        pts, valid,
+        eps=cfg.epsilon, min_points=cfg.min_cluster_size,
+        num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
+        max_iters=cfg.cluster_max_iters,
+        eps_scale_per_m=cfg.eps_scale_per_m, eps_max=cfg.eps_max)
+    n0 = pts_dst.shape[0]
+    lab_dst = labels[:n0]
+    lab_src = labels[n0:].astype(jnp.int32)
+    out = _track_pair_impl(pts_src, valid_src, lab_src,
+                           pts_dst, valid_dst, lab_dst,
+                           translation_frame, cfg)
+    from ..flow import flow_with_identity_override
+    flow = flow_with_identity_override(
+        pts_src, lab_src, out.result.transforms, pose,
+        out.seg_src.pidx, out.result.identity_pt)
+    return FusedPairOutput(flow, out, lab_src, lab_dst)
+
+
 def _enable_compilation_cache():
     """Persist XLA compilations across processes (first compiles of the big
     matcher/cluster programs run minutes; cached reloads are seconds)."""
@@ -90,6 +127,32 @@ class SceneFlowEngine:
                 eps_max=cfg.eps_max)
         n0 = pts_dst.shape[0]
         return labels[:n0], labels[n0:]
+
+    def run_pair(self, pts_src, valid_src, pts_dst, valid_dst,
+                 translation_frame, pose=None) -> FusedPairOutput:
+        """Fused demo-style pipeline: joint clustering + matching + flow in
+        one device program (ego-aligned inputs, `demo.py:198-259` path).
+
+        Requires the DBSCAN clusterer; the hdbscan path has a host-side
+        stage and falls back to the staged dispatches.
+        """
+        if pose is None:
+            pose = np.eye(4, dtype=np.float32)
+        if self.cfg.use_hdbscan:
+            lab_dst, lab_src = self.cluster_joint(
+                pts_dst, valid_dst, pts_src, valid_src)
+            out = self.track_pair(pts_src, valid_src, lab_src,
+                                  pts_dst, valid_dst, lab_dst,
+                                  translation_frame)
+            flow = self.flow(pts_src, lab_src, out.result.transforms, pose,
+                             seg_pidx=out.seg_src.pidx,
+                             identity_pt=out.result.identity_pt)
+            return FusedPairOutput(flow, out, lab_src.astype(jnp.int32),
+                                   lab_dst)
+        return _run_pair_fused_impl(
+            pts_src, valid_src, pts_dst, valid_dst,
+            jnp.asarray(translation_frame, jnp.float32),
+            jnp.asarray(pose, jnp.float32), self.cfg)
 
     def track_pair(self, pts_src, valid_src, labels_src,
                    pts_dst, valid_dst, labels_dst,

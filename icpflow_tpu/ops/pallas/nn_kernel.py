@@ -115,12 +115,14 @@ def _pad_axis(x, multiple, axis, value):
 @functools.partial(jax.jit,
                    static_argnames=("tn", "tm", "interpret", "variant"))
 def masked_nn_pallas(src, dst, dst_mask, *, tn: int = 1024, tm: int = 1024,
-                     interpret: bool = False, variant: str = "vpu"):
+                     interpret: bool = False, variant: str = "mxu"):
     """Drop-in for `knn.masked_nn` on TPU. Returns (idx, euclidean dist).
 
-    ``variant``: "vpu" (default; elementwise distances — the MXU variant
-    wastes 42/43 of the systolic array on the K=3->128 contraction padding)
-    or "mxu" (dot_general formulation, kept for comparison benchmarks).
+    ``variant``: "mxu" (default; dot_general distances — what the accuracy
+    guardrails are pinned on) or "vpu" (elementwise distances: avoids the
+    K=3->128 contraction padding, ~15% faster and numerically tighter, but
+    the sub-mm distance deltas shift batched-ICP convergence basins on
+    knife-edge cluster pairs — see `knn.masked_nn` for the tradeoff).
     """
     b, n, _ = src.shape
     m = dst.shape[1]

@@ -51,12 +51,20 @@ def run_frame_pair(
     jv_src = jnp.asarray(v_src)
     jv_dst = jnp.asarray(v_dst)
 
-    lab_dst, lab_src = engine.cluster_joint(j_dst, jv_dst, j_src, jv_src)
-    out: TrackOutput = engine.track_pair(
-        j_src, jv_src, lab_src, j_dst, jv_dst, lab_dst, translation_frame)
-    flow = engine.flow(j_src, lab_src, out.result.transforms, pose,
-                       seg_pidx=out.seg_src.pidx,
-                       identity_pt=out.result.identity_pt)
+    if engine.cfg.use_hdbscan:
+        # hdbscan has a host-side stage; run the staged dispatches
+        lab_dst, lab_src = engine.cluster_joint(j_dst, jv_dst, j_src, jv_src)
+        out: TrackOutput = engine.track_pair(
+            j_src, jv_src, lab_src, j_dst, jv_dst, lab_dst,
+            translation_frame)
+        flow = engine.flow(j_src, lab_src, out.result.transforms, pose,
+                           seg_pidx=out.seg_src.pidx,
+                           identity_pt=out.result.identity_pt)
+    else:
+        fused = engine.run_pair(j_src, jv_src, j_dst, jv_dst,
+                                translation_frame, pose)
+        flow, out = fused.flow, fused.track
+        lab_src, lab_dst = fused.lab_src, fused.lab_dst
 
     n_src = len(point_src)
     n_dst = len(point_dst)

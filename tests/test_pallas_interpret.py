@@ -27,7 +27,7 @@ def test_pallas_nn_matches_xla_interpreted():
 
 
 def test_pallas_nn_vpu_variant_matches_xla_interpreted():
-    """The default (elementwise/VPU) kernel variant against the XLA path."""
+    """Both kernel variants (mxu default, vpu alternative) against the XLA path."""
     rng = np.random.default_rng(1)
     B, N, M = 2, 256, 384
     src = jnp.asarray(rng.uniform(-20, 20, (B, N, 3)).astype(np.float32))
