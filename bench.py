@@ -7,13 +7,31 @@ resolution (63k valid points/frame, AV2). The reference requires a CUDA GPU
 for this (`README.md:56`); its shipped prediction for this exact sample
 (`demo.npz: est_flow`) scores EPE3D 0.0114 / dynamic 0.1248, the accuracy bar.
 
-Throughput metric: scan_pairs_per_sec for the device pipeline (joint
+TIMING METHODOLOGY (load-bearing — do not "simplify" this back):
+  The TPU runtime behind the axon tunnel defers (and can elide) queued
+  program executions whose outputs are never observed: enqueueing N identical
+  programs and calling ``block_until_ready`` on the LAST output returns
+  after ~N * dispatch_overhead, not N * device_time — a queued-loop
+  "throughput" measurement can exceed hardware peak by 100x (calibrated:
+  an 8192^3 matmul "measured" 51,787 TFLOP/s that way; the chip peaks at
+  197). Every timing below therefore uses
+    * dependency chaining: iteration i+1's input folds in iteration i's
+      output (``x + 1e-30 * out``), so the final value mathematically
+      requires every execution; and
+    * a value-fetch barrier: the measured region ends with an actual scalar
+      fetch (``float(...)``), the only operation this runtime is guaranteed
+      to execute for. The (tunnel-sized, ~40-200 ms) fetch cost is measured
+      separately and subtracted.
+  Calibration under this methodology: 8192^3 matmul -> ~110 TFLOP/s (~56% of
+  bf16 peak), which is sane.
+
+Throughput metric: scan_pairs_per_sec for the fused device pipeline (joint
 clustering + segment extraction + two-stage hist/ICP matching + flow
-assembly, all on-chip, steady state), median of REPS measurement reps
-(min/max reported as `pairs_per_sec_min/max` — the tunnel-attached chip has
-real run-to-run variance). Host npz load and host<->device transfers are
-reported separately (`host_io_s`): the chip sits behind a network tunnel, so
-transfer time measures the tunnel, not the framework.
+assembly as one XLA program, `SceneFlowEngine.run_pair`), median over REPS
+chained runs (min/max reported — the tunnel-attached chip has run-to-run
+variance). Host npz load and host<->device transfers are reported separately
+(`host_io_s`): the chip sits behind a network tunnel, so transfer time
+measures the tunnel, not the framework.
 
 vs_baseline: BASELINE_PAIRS_PER_SEC = 10.0 scan-pairs/s, a *generous* upper
 bound for the reference. The reference publishes no throughput numbers
@@ -26,13 +44,14 @@ reference is strictly below that bar on its own GPU; we credit it the full
 Extra diagnostics in the line:
   * per-stage device timings (`stage_*_ms`): cluster / segment-extract /
     match (hist+ICP+gates) / flow at the real jit boundaries, plus hot-kernel
-    micro-benches (`kern_*_ms`) for the histogram init and batched ICP at the
-    exact bucket shapes the matcher runs (256 pairs x 512 pts small bucket,
-    32 x 4096 large bucket).
-  * `track_gflops` / `mfu_bf16_peak`: XLA cost-analysis FLOPs of the matcher
-    program per pair, and utilisation vs the chip's 197 TFLOP/s bf16 peak
-    (honest denominator: the NN matmuls run at HIGHEST precision, which is
-    3-pass bf16, so the fp32-equivalent ceiling is ~1/3 of that).
+    micro-benches (`kern_*_ms`) for the histogram init, batched ICP, and the
+    NN kernel variants at the exact bucket shapes the matcher runs
+    (256 pairs x 512 pts small bucket, 32 x 4096 large bucket).
+  * `kern_nn_large_tflops` / `mfu_nn_kernel`: achieved FLOP rate of the
+    dominant inner kernel (masked NN at the large bucket) vs the 197 TFLOP/s
+    bf16 peak. A whole-pipeline MFU is NOT reported: XLA cost analysis
+    counts each `while_loop` body once and cannot see data-dependent trip
+    counts, so any "pipeline FLOPs" number derived from it would be fiction.
   * held-out accuracy (`heldout_*`): multi-frame synthetic lidar scenes
     (data/synthetic.py; rotating + translating movers, waymo-like gaps 1-4
     and nuScenes-like gaps 1-10) evaluated through the same DatasetPCA path
@@ -43,6 +62,7 @@ Extra diagnostics in the line:
     from the metrics. Details are written to ACCURACY.json.
 """
 
+import functools
 import json
 import time
 
@@ -58,7 +78,7 @@ BASELINE_PAIRS_PER_SEC = 10.0  # README.md:16,82-84: reference < 10 Hz real-time
 DEMO_PATH = "/root/reference/demo.npz"
 PEAK_BF16_FLOPS = 197e12       # TPU v5e per-chip bf16 peak
 REPS = 3
-ITERS = 10
+ITERS = 4                      # chained pipeline iterations per rep
 
 
 def make_cfg():
@@ -101,15 +121,34 @@ def device_metrics(flow_dev, gt_dev, valid, dyn=None):
         jnp.sum(err * stat_w) / jnp.maximum(jnp.sum(stat_w), 1)])
 
 
-def time_op(fn, iters=ITERS):
-    """Median-of-one wall time per call, first call excluded (compile)."""
-    out = fn()
-    jax.block_until_ready(out)
+# ---------------------------------------------------------------------------
+# Honest timing: dependency-chained steps, value-fetch barrier (see module
+# docstring). ``step``: state -> (state', out); the state perturbation makes
+# each iteration depend on the previous one, the closing ``float(...)``
+# forces the runtime to actually execute the chain.
+# ---------------------------------------------------------------------------
+
+def fetch_barrier_cost():
+    x = jnp.zeros((8,), jnp.float32)
+    _ = float(jnp.sum(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        _ = float(jnp.sum(x))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def chain_time(step, state0, probe, iters, barrier):
+    """Seconds per chained iteration of ``step``; first (compile) excluded."""
+    st, out = step(state0)
+    _ = float(probe(out))                       # warm + barrier
+    st = state0
     t0 = time.time()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+        st, out = step(st)
+    _ = float(probe(out))
+    return max((time.time() - t0 - barrier) / iters, 1e-9)
 
 
 def heldout_eval(cfg):
@@ -117,7 +156,7 @@ def heldout_eval(cfg):
 
     Same protocol as a real Waymo-style run (`main.py:184-285`): ground
     removal, joint clustering per frame pair, gap-scaled translation_frame,
-    flow vs reconstructed GT. Scenes were never used for tuning (seeds 7, 8).
+    flow vs reconstructed GT. Scenes were never used for tuning (seeds 7-9).
     """
     import os
     import tempfile
@@ -212,45 +251,82 @@ def main():
     jax.block_until_ready((jps, jpd, jgt))
     host_io_in = time.time() - t0
 
-    def device_pipeline():
-        # one fused XLA program per pair (cluster+match+flow): separate
-        # dispatches cost ~0.1 ms launch overhead each at this scale
-        fused = engine.run_pair(jps, jvs, jpd, jvd, 2.0)
-        return fused.flow, fused.track
+    from icpflow_tpu.models.icp_flow import (_run_pair_fused_impl,
+                                             _track_pair_impl)
+    tf_dev = jnp.float32(2.0)
+    pose_dev = jnp.eye(4, dtype=jnp.float32)
+
+    barrier = fetch_barrier_cost()
+
+    # ---- headline: chained fused-pipeline throughput ---------------------
+    @jax.jit
+    def fused_step(ps):
+        out = _run_pair_fused_impl(ps, jvs, jpd, jvd, tf_dev, pose_dev, cfg)
+        return ps + 1e-30 * out.flow, out
 
     t0 = time.time()
-    flow, out = device_pipeline()
-    jax.block_until_ready(flow)
+    _, out0 = fused_step(jps)
+    _ = float(jnp.sum(out0.flow[0]))
     compile_and_first = time.time() - t0
 
-    # ---- throughput: median of REPS reps of ITERS pipeline iterations ----
     rates = []
     for _ in range(REPS):
-        t0 = time.time()
-        for _ in range(ITERS):
-            flow, out = device_pipeline()
-        jax.block_until_ready(flow)
-        rates.append(ITERS / (time.time() - t0))
+        dt = chain_time(fused_step, jps, lambda o: jnp.sum(o.flow[0]),
+                        ITERS, barrier)
+        rates.append(1.0 / dt)
     pairs_per_sec = float(np.median(rates))
     dt = 1.0 / pairs_per_sec
+    flow, out = out0.flow, out0.track
 
-    # ---- per-stage timings at the real jit boundaries --------------------
-    lab_dst, lab_src = engine.cluster_joint(jpd, jvd, jps, jvs)
-    jax.block_until_ready((lab_dst, lab_src))
-    t_cluster = time_op(lambda: engine.cluster_joint(jpd, jvd, jps, jvs))
+    # ---- per-stage timings at the real jit boundaries (chained) ----------
+    cat_p = jnp.concatenate([jpd, jps])
+    cat_v = jnp.concatenate([jvd, jvs])
+    from icpflow_tpu.ops import cluster as _cluster
+
+    def cluster_step(p):
+        lab = _cluster.dbscan(
+            p, cat_v, eps=cfg.epsilon, min_points=cfg.min_cluster_size,
+            num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
+            max_iters=cfg.cluster_max_iters,
+            eps_scale_per_m=cfg.eps_scale_per_m, eps_max=cfg.eps_max)
+        return p + 1e-30 * jnp.sum(lab).astype(p.dtype), lab
+
+    t_cluster = chain_time(jax.jit(cluster_step), cat_p,
+                           lambda o: jnp.sum(o), ITERS, barrier)
+    lab = jax.jit(cluster_step)(cat_p)[1]
+    n0 = jpd.shape[0]
+    lab_dst, lab_src = lab[:n0], lab[n0:]
 
     from icpflow_tpu.ops.segments import extract_segments
-    import functools
-    extract = jax.jit(functools.partial(
-        extract_segments, num_labels=cfg.num_clusters,
-        max_points=cfg.max_points))
-    t_extract = 2 * time_op(lambda: extract(jps, lab_src, jvs))  # src + dst
+    extract = functools.partial(extract_segments, num_labels=cfg.num_clusters,
+                                max_points=cfg.max_points)
 
-    t_track = time_op(
-        lambda: engine.track_pair(jps, jvs, lab_src, jpd, jvd, lab_dst, 2.0))
-    t_flow = time_op(
-        lambda: engine.flow(jps, lab_src, out.result.transforms,
-                            np.eye(4, dtype=np.float32)))
+    @jax.jit
+    def extract_step(ps):
+        seg = extract(ps, lab_src, jvs)
+        return ps + 1e-30 * jnp.sum(seg.xyz).astype(ps.dtype), seg
+
+    t_extract = 2 * chain_time(extract_step, jps,
+                               lambda o: jnp.sum(o.count), 8, barrier)
+
+    @jax.jit
+    def track_step(ps):
+        o = _track_pair_impl(ps, jvs, lab_src, jpd, jvd, lab_dst, tf_dev, cfg)
+        return ps + 1e-30 * jnp.sum(o.result.transforms).astype(ps.dtype), o
+
+    t_track = chain_time(track_step, jps,
+                         lambda o: jnp.sum(o.result.transforms), ITERS,
+                         barrier)
+    transforms = jax.jit(track_step)(jps)[1].result.transforms
+
+    from icpflow_tpu.flow import flow_from_transforms
+
+    @jax.jit
+    def flow_step(ps):
+        f = flow_from_transforms(ps, lab_src, transforms, pose_dev)
+        return ps + 1e-30 * f, f
+
+    t_flow = chain_time(flow_step, jps, lambda o: jnp.sum(o[0]), 8, barrier)
 
     # ---- hot-kernel micro-benches at the matcher's bucket shapes ---------
     from icpflow_tpu.ops import hist as _hist, icp as _icp
@@ -261,27 +337,40 @@ def main():
         a = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
         bb = a + 0.3
         msk = jnp.ones((b, n), bool)
-        kern[f"hist_{name}"] = time_op(
-            lambda a=a, bb=bb, msk=msk: _hist.estimate_init_translation(
-                a, msk, bb, msk, 2.0, bin_w=cfg.hist_bin,
+
+        @jax.jit
+        def hist_step(x, bb=bb, msk=msk):
+            T = _hist.estimate_init_translation(
+                x, msk, bb, msk, tf_dev, bin_w=cfg.hist_bin,
                 lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
                 topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
-                eval_tile=cfg.nn_tile))
+                eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws)
+            return x + 1e-30 * T[:, :3, 3][:, None, :], T
+
+        kern[f"hist_{name}"] = chain_time(
+            hist_step, a, lambda o: jnp.sum(o), 8, barrier)
+
         init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
-        kern[f"icp_{name}"] = time_op(
-            lambda a=a, bb=bb, msk=msk, init=init: _icp.apply_icp(
-                a, msk, bb, msk, init, thres=cfg.thres_dist,
-                max_iters=cfg.icp_max_iters, rel_rmse=cfg.icp_rel_rmse,
-                tile=cfg.nn_tile))
+
+        @jax.jit
+        def icp_step(x, bb=bb, msk=msk, init=init):
+            T = _icp.apply_icp(x, msk, bb, msk, init, thres=cfg.thres_dist,
+                               max_iters=cfg.icp_max_iters,
+                               rel_rmse=cfg.icp_rel_rmse, tile=cfg.nn_tile)
+            return x + 1e-30 * T[:, :3, 3][:, None, :], T
+
+        kern[f"icp_{name}"] = chain_time(
+            icp_step, a, lambda o: jnp.sum(o), ITERS, barrier)
 
     # ---- Pallas NN kernel: on-chip correctness + variant timing ----------
     # (kernel correctness asserted where it actually runs — the interpret
     # tests only cover CPU semantics)
     from icpflow_tpu.ops.knn import _masked_nn_xla
     from icpflow_tpu.ops.pallas.nn_kernel import masked_nn_pallas
-    a = jnp.asarray(rng.normal(size=(32, 2048, 3)).astype(np.float32) * 10)
-    bb = jnp.asarray(rng.normal(size=(32, 2048, 3)).astype(np.float32) * 10)
-    msk = jnp.asarray(rng.random((32, 2048)) > 0.2)
+    b, n = 32, 4096
+    a = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 10)
+    bb = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 10)
+    msk = jnp.asarray(rng.random((b, n)) > 0.2)
     _, d_xla = _masked_nn_xla(a, bb, msk, tile=512)
     nn_ms = {}
     pallas_err = 0.0
@@ -290,24 +379,20 @@ def main():
         err = float(jnp.max(jnp.abs(d_p - d_xla)))
         assert err < 1e-3, f"pallas {variant} vs xla: {err}"
         pallas_err = max(pallas_err, err)
-        nn_ms[variant] = time_op(
-            lambda v=variant: masked_nn_pallas(a, bb, msk, variant=v))
 
-    # ---- FLOPs / MFU of the matcher program ------------------------------
-    track_gflops = mfu = -1.0
-    try:
-        from icpflow_tpu.models.icp_flow import _track_pair_impl
-        lowered = _track_pair_impl.lower(
-            jps, jvs, lab_src, jpd, jvd, lab_dst,
-            jnp.float32(2.0), cfg)
-        ca = lowered.compile().cost_analysis()
-        if ca:
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            track_gflops = float(ca.get("flops", -1)) / 1e9
-            if track_gflops > 0:
-                mfu = (track_gflops * 1e9 / t_track) / PEAK_BF16_FLOPS
-    except Exception:
-        pass
+        @jax.jit
+        def nn_step(x, v=variant):
+            _, d = masked_nn_pallas(x, bb, msk, variant=v)
+            return x + 1e-30 * d[:, :, None], d
+
+        nn_ms[variant] = chain_time(nn_step, a, lambda o: jnp.sum(o[0]),
+                                    32, barrier)
+
+    # achieved FLOP rate of the dominant inner kernel (see docstring: a
+    # whole-pipeline MFU from XLA cost analysis would be fiction)
+    nn_flops = 2.0 * b * n * n * 3
+    nn_tflops = nn_flops / min(nn_ms.values()) / 1e12
+    mfu_nn = nn_flops / min(nn_ms.values()) / PEAK_BF16_FLOPS
 
     # ---- accuracy on the demo fixture ------------------------------------
     t0 = time.time()
@@ -345,27 +430,28 @@ def main():
         "value": round(pairs_per_sec, 4),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 4),
-        "pairs_per_sec_min": round(min(rates), 1),
-        "pairs_per_sec_max": round(max(rates), 1),
+        "timing": "dependency-chained + value-fetch barrier (see bench.py)",
+        "pairs_per_sec_min": round(min(rates), 3),
+        "pairs_per_sec_max": round(max(rates), 3),
         "epe3d": round(epe, 5),
         "epe3d_dynamic": round(epe_dyn, 5),
         "acc3ds": round(accs, 5),
         "ref_epe3d": 0.01145,
         "ref_epe3d_dynamic": 0.12479,
         "sec_per_pair": round(dt, 5),
-        "stage_cluster_ms": round(t_cluster * 1e3, 3),
-        "stage_extract_ms": round(t_extract * 1e3, 3),
-        "stage_match_ms": round(t_track * 1e3, 3),
-        "stage_flow_ms": round(t_flow * 1e3, 3),
-        "kern_hist_small_ms": round(kern["hist_small"] * 1e3, 3),
-        "kern_icp_small_ms": round(kern["icp_small"] * 1e3, 3),
-        "kern_hist_large_ms": round(kern["hist_large"] * 1e3, 3),
-        "kern_icp_large_ms": round(kern["icp_large"] * 1e3, 3),
+        "stage_cluster_ms": round(t_cluster * 1e3, 2),
+        "stage_extract_ms": round(t_extract * 1e3, 2),
+        "stage_match_ms": round(t_track * 1e3, 2),
+        "stage_flow_ms": round(t_flow * 1e3, 2),
+        "kern_hist_small_ms": round(kern["hist_small"] * 1e3, 2),
+        "kern_icp_small_ms": round(kern["icp_small"] * 1e3, 2),
+        "kern_hist_large_ms": round(kern["hist_large"] * 1e3, 2),
+        "kern_icp_large_ms": round(kern["icp_large"] * 1e3, 2),
         "kern_nn_vpu_ms": round(nn_ms["vpu"] * 1e3, 3),
         "kern_nn_mxu_ms": round(nn_ms["mxu"] * 1e3, 3),
+        "kern_nn_large_tflops": round(nn_tflops, 2),
+        "mfu_nn_kernel": round(mfu_nn, 4),
         "pallas_xla_max_err": round(pallas_err, 6),
-        "track_gflops": round(track_gflops, 2),
-        "mfu_bf16_peak": round(mfu, 4),
         "compile_s": round(compile_and_first, 1),
         "host_io_s": round(host_io_in + host_io_out, 2),
         "n_pairs_matched": n_matched,

@@ -100,7 +100,23 @@ class SceneFlowEngine:
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        self._scalar_cache = {}
         _enable_compilation_cache()
+
+    def _dev_scalar(self, v):
+        """Device-resident f32 scalar, memoized by value.
+
+        ``translation_frame`` takes one of ~num_frames distinct values per
+        run; converting it per call would ship a fresh host->device transfer
+        each pair (milliseconds through a tunnel-attached chip)."""
+        if isinstance(v, jnp.ndarray):
+            return v
+        key = float(v)
+        cached = self._scalar_cache.get(key)
+        if cached is None:
+            cached = jnp.float32(key)
+            self._scalar_cache[key] = cached
+        return cached
 
     # -- clustering (joint over the ego-aligned frame pair,
     #    dataset_pca.py:164-201 semantics) --------------------------------
@@ -151,7 +167,7 @@ class SceneFlowEngine:
                                    lab_dst)
         return _run_pair_fused_impl(
             pts_src, valid_src, pts_dst, valid_dst,
-            jnp.asarray(translation_frame, jnp.float32),
+            self._dev_scalar(translation_frame),
             jnp.asarray(pose, jnp.float32), self.cfg)
 
     def track_pair(self, pts_src, valid_src, labels_src,
@@ -161,7 +177,7 @@ class SceneFlowEngine:
         return _track_pair_impl(
             pts_src, valid_src, labels_src.astype(jnp.int32),
             pts_dst, valid_dst, labels_dst.astype(jnp.int32),
-            jnp.asarray(translation_frame, jnp.float32), self.cfg)
+            self._dev_scalar(translation_frame), self.cfg)
 
     def flow(self, raw_src_points, labels_src, transforms, pose,
              seg_pidx=None, identity_pt=None):
