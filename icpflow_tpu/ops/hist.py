@@ -60,6 +60,26 @@ def _signed_shifts(l: int) -> jnp.ndarray:
     return jnp.arange(l, dtype=jnp.float32) - (l // 2)
 
 
+def _score_hypotheses(moved_k, src_mask, dst, dst_mask, eval_tile):
+    """Symmetric masked mean NN error of K transform hypotheses, batched.
+
+    ``moved_k``: (K, B, N, 3) moved source clouds. All K hypotheses are
+    scored in ONE batched NN sweep per direction (K*B batch rows) instead of
+    a ``lax.map`` over K — the map form serialized 2K kernel launches per
+    stage and dominated the histogram init's device time.
+    Returns (K, B) errors (utils_hist.py:86-105 candidate scoring).
+    """
+    k, b, n_, _ = moved_k.shape
+    m = dst.shape[1]
+    mk = moved_k.reshape(k * b, n_, 3)
+    smask = jnp.broadcast_to(src_mask[None], (k, b, n_)).reshape(k * b, n_)
+    dstk = jnp.broadcast_to(dst[None], (k, b, m, 3)).reshape(k * b, m, 3)
+    dmask = jnp.broadcast_to(dst_mask[None], (k, b, m)).reshape(k * b, m)
+    e_f = _knn.masked_nn_error(mk, smask, dstk, dmask, tile=eval_tile)
+    e_b = _knn.masked_nn_error(dstk, dmask, mk, smask, tile=eval_tile)
+    return jnp.minimum(e_f, e_b).reshape(k, b)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bin_w", "lxy", "lz", "topk", "nms_kernel", "eval_tile",
@@ -163,15 +183,9 @@ def estimate_init_translation(
     k = t_all.shape[1]
 
     # score candidates: symmetric masked mean NN error (utils_hist.py:86-105)
-    def score(tk):
-        moved = src + tk[:, None, :]
-        e_fwd = _knn.masked_nn_error(moved, src_mask, dst, dst_mask,
-                                     tile=eval_tile)
-        e_bwd = _knn.masked_nn_error(dst, dst_mask, moved, src_mask,
-                                     tile=eval_tile)
-        return jnp.minimum(e_fwd, e_bwd)
-
-    errors = jax.lax.map(score, jnp.swapaxes(t_all, 0, 1))        # (K,B)
+    moved_all = src[None] + jnp.swapaxes(t_all, 0, 1)[:, :, None, :]
+    errors = _score_hypotheses(moved_all, src_mask, dst, dst_mask,
+                               eval_tile)                         # (K,B)
     best = jnp.argmin(errors, axis=0)                             # (B,)
     t_best = jnp.take_along_axis(t_all, best[:, None, None], axis=1)[:, 0]
 
@@ -195,10 +209,8 @@ def estimate_init_translation(
 
     import numpy as _np
     cand_t = (t_best, dc_exact)
-    # one lax.map over all (yaw, translation) hypotheses: the scoring body
-    # (two masked NN sweeps) is traced/compiled ONCE, not per hypothesis —
-    # inlining each hypothesis ballooned the XLA program and cold-compile
-    # time on the tunnel-attached chip
+    # all (yaw, translation) hypotheses scored in one batched NN sweep per
+    # direction (see _score_hypotheses)
     rot_all = []
     for psi in nonzero_yaws:
         c, s = math.cos(psi), math.sin(psi)
@@ -208,15 +220,8 @@ def estimate_init_translation(
         for trans in cand_t:
             rot_all.append(rot + trans[:, None, :])
     rot_all = jnp.stack(rot_all)                              # (Y*2,B,N,3)
-
-    def score_moved(moved):
-        e_f = _knn.masked_nn_error(moved, src_mask, dst, dst_mask,
-                                   tile=eval_tile)
-        e_b = _knn.masked_nn_error(dst, dst_mask, moved, src_mask,
-                                   tile=eval_tile)
-        return jnp.minimum(e_f, e_b)
-
-    errs_y = jax.lax.map(score_moved, rot_all)                # (Y*2,B)
+    errs_y = _score_hypotheses(rot_all, src_mask, dst, dst_mask,
+                               eval_tile)                     # (Y*2,B)
     flat_best = jnp.argmin(errs_y, axis=0)                        # (B,)
     err_y = jnp.min(errs_y, axis=0)
     yaw_tbl = jnp.asarray(_np.repeat(
