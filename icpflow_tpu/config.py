@@ -88,6 +88,22 @@ class PipelineConfig:
     max_points: int = 10000
     icp_max_iters: int = 100
     icp_rel_rmse: float = 1e-6
+    # consecutive iterations without a >rel_rmse improvement of a pair's best
+    # rmse before that pair freezes at its best pose (ops/icp.py latch; the
+    # reference instead runs the whole bucket until all pairs clear rel_rmse
+    # simultaneously, utils_icp_pytorch3d.py:209-211)
+    icp_patience: int = 5
+    # relative best-rmse improvement below which an iteration counts as stale
+    # for the latch. Looser than icp_rel_rmse on purpose: at rmse ~5 cm a
+    # 1e-6-relative "improvement" is sub-micron per iteration — noise, not
+    # progress worth burning an NN sweep on (demo sweep: 1e-6..1e-3 all safe,
+    # 1e-3 slightly better on dynamic EPE)
+    icp_stall_rel: float = 1e-3
+    # absolute NN-error margin (m) ICP must beat the init by, else roll back
+    # to the init pose (ops/icp.py apply_icp; extends utils_icp.py:26-35 —
+    # marginal NN gains on self-similar geometry indicate drift). Demo sweep:
+    # flat optimum across 0.002-0.01, breaks at 0.02 (drops real matches)
+    icp_init_margin: float = 0.005
 
     # --- pair gating (main.py:101-110, utils_check.py) ---
     thres_box: float = 0.1

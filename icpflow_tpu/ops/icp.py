@@ -7,11 +7,13 @@ RMSE convergence) plus the wrapper logic of `utils_icp.py:20-48` (compose with
 the histogram init pose and roll back to it when ICP worsened the masked NN
 error).
 
-TPU-native differences: a ``lax.while_loop`` with an *all-pairs* convergence
-predicate replaces the Python loop+break (same stopping rule as
-`utils_icp_pytorch3d.py:209-211`), correspondences come from the masked
-brute-force MXU NN (`ops/knn.py`), and every pair in the bucket is solved in
-one program — no per-pair Python control flow.
+TPU-native differences: a ``lax.while_loop`` replaces the Python loop+break,
+with a *per-pair* convergence latch instead of the reference's all-pairs
+simultaneity rule (`utils_icp_pytorch3d.py:209-211` — see the comment in
+``icp_core``: one oscillating pair otherwise drives the whole bucket to
+max_iters), correspondences come from the masked brute-force MXU NN
+(`ops/knn.py`), and every pair in the bucket is solved in one program — no
+per-pair Python control flow.
 """
 
 from __future__ import annotations
@@ -27,16 +29,20 @@ from . import knn as _knn
 
 
 class _IcpState(NamedTuple):
-    R: jnp.ndarray          # (B,3,3) column-convention rotation (init frame)
+    R: jnp.ndarray          # (B,3,3) current iterate (column convention)
     t: jnp.ndarray          # (B,3)
-    rmse: jnp.ndarray       # (B,)
-    prev_rmse: jnp.ndarray  # (B,)
+    best_R: jnp.ndarray     # (B,3,3) best-inlier-rmse visited pose
+    best_t: jnp.ndarray     # (B,3)
+    best_rmse: jnp.ndarray  # (B,) best inlier rmse so far
+    stale: jnp.ndarray      # (B,) consecutive iters w/o meaningful improvement
+    frozen: jnp.ndarray     # (B,) pair latched: no further pose updates
     it: jnp.ndarray         # ()
-    done: jnp.ndarray       # ()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("thres", "max_iters", "rel_rmse", "tile"))
+    jax.jit,
+    static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
+                     "stall_rel"))
 def icp_core(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -47,6 +53,8 @@ def icp_core(
     max_iters: int = 100,
     rel_rmse: float = 1e-6,
     tile: int = 1024,
+    patience: int = 5,
+    stall_rel: float = 1e-4,
 ) -> jnp.ndarray:
     """Rigid ICP aligning ``src`` onto ``dst``. Returns (B,4,4).
 
@@ -69,26 +77,63 @@ def icp_core(
         sq = jnp.sum((moved2 - nn_pts) ** 2, axis=-1)
         w = inlier.astype(f32)
         rmse = jnp.sqrt(jnp.sum(sq * w, 1) / jnp.maximum(jnp.sum(w, 1), 1e-9))
-        rel = (s.rmse - rmse) / jnp.maximum(s.rmse, 1e-20)
+        # Per-pair early-exit latch with patience, returning the best
+        # visited pose. The reference's batched loop runs until EVERY pair
+        # clears rel_rmse in the SAME iteration
+        # (utils_icp_pytorch3d.py:209-211), so one oscillating pair drives
+        # the whole bucket to max_iters (measured on the demo buckets:
+        # median pair converges by iteration ~15, loop runs all 100). Two
+        # per-pair signals replace that rule:
+        #  * STALL: an iteration that fails to improve the pair's best
+        #    inlier rmse by stall_rel (relative) increments a stale counter
+        #    (a meaningful improvement resets it); ``patience`` consecutive
+        #    stale iterations freeze the pair, and the loop exits when all
+        #    pairs are frozen. The raw rmse tracks fine progress even when
+        #    inliers are few, so mid-flight movers are never cut off.
+        #  * SELECTION: the returned pose is the visited pose with the best
+        #    inlier rmse. For converged pairs this is the fixpoint pose, so
+        #    the reference-parity result is unchanged; for oscillators it
+        #    upgrades the reference's arbitrary at-cutoff phase to the best
+        #    visited phase. NN-proxy scores (rmse included) cannot see drift
+        #    along self-similar geometry — that is what the margined
+        #    rollback gate in apply_icp guards against.
         first = s.it == 0
-        done = jnp.where(first, False, jnp.all(rel <= rel_rmse))
-        return _IcpState(R, t, rmse, s.rmse, s.it + 1, done)
+        take = (first | (rmse < s.best_rmse)) & ~s.frozen
+        tk3 = take[:, None, None]
+        meaningful = first | ((s.best_rmse - rmse)
+                              > stall_rel * jnp.maximum(s.best_rmse, 1e-20))
+        stale = jnp.where(s.frozen | meaningful, 0, s.stale + 1)
+        frozen = s.frozen | (stale >= patience)
+        upd = ~s.frozen
+        return _IcpState(
+            R=jnp.where(upd[:, None, None], R, s.R),
+            t=jnp.where(upd[:, None], t, s.t),
+            best_R=jnp.where(tk3, R, s.best_R),
+            best_t=jnp.where(take[:, None], t, s.best_t),
+            best_rmse=jnp.where(take, rmse, s.best_rmse),
+            stale=stale,
+            frozen=frozen,
+            it=s.it + 1,
+        )
 
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (b, 3, 3))
     init = _IcpState(
-        R=jnp.broadcast_to(jnp.eye(3, dtype=f32), (b, 3, 3)),
-        t=jnp.zeros((b, 3), f32),
-        rmse=jnp.full((b,), jnp.inf, f32),
-        prev_rmse=jnp.full((b,), jnp.inf, f32),
+        R=eye, t=jnp.zeros((b, 3), f32),
+        best_R=eye, best_t=jnp.zeros((b, 3), f32),
+        best_rmse=jnp.full((b,), jnp.inf, f32),
+        stale=jnp.zeros((b,), jnp.int32),
+        frozen=jnp.zeros((b,), bool),
         it=jnp.int32(0),
-        done=jnp.bool_(False),
     )
     out = jax.lax.while_loop(
-        lambda s: (~s.done) & (s.it < max_iters), body, init)
-    return geo.rt_to_mat(out.R, out.t)
+        lambda s: (~jnp.all(s.frozen)) & (s.it < max_iters), body, init)
+    return geo.rt_to_mat(out.best_R, out.best_t)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("thres", "max_iters", "rel_rmse", "tile"))
+    jax.jit,
+    static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
+                     "stall_rel"))
 def apply_icp(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -100,22 +145,34 @@ def apply_icp(
     max_iters: int = 100,
     rel_rmse: float = 1e-6,
     tile: int = 1024,
+    patience: int = 5,
+    stall_rel: float = 1e-4,
+    init_margin: float = 0.0,
 ) -> jnp.ndarray:
     """ICP from a translation init, rolling back when it diverges.
 
     Ref: `utils_icp.py:20-48` — Rts = ICP(init(src), dst) o init; then if the
     masked mean NN error under Rts is not better than under init alone, return
     the init pose for that pair.
+
+    ``init_margin`` extends the reference's rollback rule: ICP must beat the
+    init's NN error by this absolute margin (metres) or the init wins. On
+    self-similar geometry (truck sides, walls) ICP drifts along the
+    similarity direction, improving the NN proxy while worsening true
+    alignment (traced on the demo gap-4x movers: init true error 0.03 m,
+    "converged" ICP 0.07 m with a marginally better NN error) — a small NN
+    gain is evidence of drift, not of a better pose.
     """
     src_init = geo.transform_points_batch(src, init_poses)
     rts = icp_core(src_init, src_mask, dst, dst_mask,
                    thres=thres, max_iters=max_iters,
-                   rel_rmse=rel_rmse, tile=tile)
+                   rel_rmse=rel_rmse, tile=tile, patience=patience,
+                   stall_rel=stall_rel)
     rts = geo.compose(rts, init_poses)
 
     err_init = _knn.masked_nn_error(src_init, src_mask, dst, dst_mask,
                                     tile=tile)
     moved = geo.transform_points_batch(src, rts)
     err_icp = _knn.masked_nn_error(moved, src_mask, dst, dst_mask, tile=tile)
-    invalid = err_icp >= err_init
+    invalid = err_icp >= err_init - init_margin
     return jnp.where(invalid[:, None, None], init_poses, rts)
