@@ -92,7 +92,7 @@ class PipelineConfig:
     # rmse before that pair freezes at its best pose (ops/icp.py latch; the
     # reference instead runs the whole bucket until all pairs clear rel_rmse
     # simultaneously, utils_icp_pytorch3d.py:209-211)
-    icp_patience: int = 5
+    icp_patience: int = 10
     # relative best-rmse improvement below which an iteration counts as stale
     # for the latch. Looser than icp_rel_rmse on purpose: at rmse ~5 cm a
     # 1e-6-relative "improvement" is sub-micron per iteration — noise, not
