@@ -99,11 +99,13 @@ class PipelineConfig:
     # progress worth burning an NN sweep on (demo sweep: 1e-6..1e-3 all safe,
     # 1e-3 slightly better on dynamic EPE)
     icp_stall_rel: float = 1e-3
-    # absolute NN-error margin (m) ICP must beat the init by, else roll back
-    # to the init pose (ops/icp.py apply_icp; extends utils_icp.py:26-35 —
-    # marginal NN gains on self-similar geometry indicate drift). Demo sweep:
-    # flat optimum across 0.002-0.01, breaks at 0.02 (drops real matches)
-    icp_init_margin: float = 0.005
+    # NN-error margin ICP must beat the init by, else roll back to the init
+    # pose (ops/icp.py apply_icp; extends utils_icp.py:26-35 — marginal NN
+    # gains on self-similar geometry indicate drift). The relative form
+    # scales with the init error, so tight inits on clean small-gap movers
+    # are not wrongly rolled back (an absolute 5 mm margin was).
+    icp_init_margin: float = 0.0
+    icp_init_margin_rel: float = 0.02
 
     # --- pair gating (main.py:101-110, utils_check.py) ---
     thres_box: float = 0.1

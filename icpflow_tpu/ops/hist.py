@@ -160,11 +160,18 @@ def estimate_init_translation(
               & oky[:, None, None, :])
 
     kz = min(nms_kernel, lz)
-    pooled = jax.lax.reduce_window(
-        corr, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, kz, nms_kernel, nms_kernel),
-        window_strides=(1, 1, 1, 1),
-        padding="SAME")
+    # separable 3D max-pool: three 1-D passes instead of one
+    # (kz * k * k)-window reduce_window — max is separable, and XLA does not
+    # exploit that itself (the fused window costs O(k^3) ops/element)
+    pooled = corr
+    for axis, k in ((1, kz), (2, nms_kernel), (3, nms_kernel)):
+        dims = [1, 1, 1, 1]
+        dims[axis] = k
+        pooled = jax.lax.reduce_window(
+            pooled, -jnp.inf, jax.lax.max,
+            window_dimensions=tuple(dims),
+            window_strides=(1, 1, 1, 1),
+            padding="SAME")
     votes = jnp.where((corr >= pooled) & window & (corr > 0), corr, -1.0)
     _, flat_idx = jax.lax.top_k(votes.reshape(b, -1), topk)
     top_votes = jnp.take_along_axis(votes.reshape(b, -1), flat_idx, axis=1)

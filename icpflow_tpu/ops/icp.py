@@ -148,6 +148,7 @@ def apply_icp(
     patience: int = 5,
     stall_rel: float = 1e-4,
     init_margin: float = 0.0,
+    init_margin_rel: float = 0.0,
 ) -> jnp.ndarray:
     """ICP from a translation init, rolling back when it diverges.
 
@@ -155,13 +156,18 @@ def apply_icp(
     masked mean NN error under Rts is not better than under init alone, return
     the init pose for that pair.
 
-    ``init_margin`` extends the reference's rollback rule: ICP must beat the
-    init's NN error by this absolute margin (metres) or the init wins. On
-    self-similar geometry (truck sides, walls) ICP drifts along the
-    similarity direction, improving the NN proxy while worsening true
-    alignment (traced on the demo gap-4x movers: init true error 0.03 m,
-    "converged" ICP 0.07 m with a marginally better NN error) — a small NN
-    gain is evidence of drift, not of a better pose.
+    ``init_margin`` / ``init_margin_rel`` extend the reference's rollback
+    rule: ICP must beat the init's NN error by max(init_margin,
+    init_margin_rel * err_init) or the init wins. On self-similar geometry
+    (truck sides, walls) ICP drifts along the similarity direction,
+    improving the NN proxy while worsening true alignment (traced on the
+    demo gap-4x movers: init true error 0.03 m, "converged" ICP 0.07 m with
+    a marginally better NN error) — a small NN gain is evidence of drift,
+    not of a better pose. The RELATIVE form is the load-bearing one: drift
+    gains are a small fraction of a large error, while a genuine small-gap
+    refinement of an already-tight init is a large fraction of a small
+    error (an absolute 5 mm margin wrongly rolled those back on held-out
+    synthetic movers).
     """
     src_init = geo.transform_points_batch(src, init_poses)
     rts = icp_core(src_init, src_mask, dst, dst_mask,
@@ -174,5 +180,6 @@ def apply_icp(
                                     tile=tile)
     moved = geo.transform_points_batch(src, rts)
     err_icp = _knn.masked_nn_error(moved, src_mask, dst, dst_mask, tile=tile)
-    invalid = err_icp >= err_init - init_margin
+    margin = jnp.maximum(init_margin, init_margin_rel * err_init)
+    invalid = err_icp >= err_init - margin
     return jnp.where(invalid[:, None, None], init_poses, rts)
