@@ -88,7 +88,7 @@ def make_cfg():
         num_clusters=200,
         min_cluster_size=20,
         nn_tile=256,
-        hist_grid_xy=256,
+        hist_grid_xy=128,
         icp_max_iters=100,
         # tuned on the demo fixture: adaptive eps base 0.6 +0.012/m cap 0.8
         epsilon=0.6,

@@ -72,7 +72,11 @@ class PipelineConfig:
     # --- histogram translation init (main.py:87-92, utils_hist.py) ---
     speed: float = 1.67
     translation_max: float = 12.8  # static cap on the residual xy search (m)
-    hist_grid_xy: int = 256       # wrapped grid cells per xy axis
+    hist_grid_xy: int = 128       # wrapped grid cells per xy axis (12.8 m
+                                  # wrap at 0.1 m bins; residuals are
+                                  # centroid-pre-shifted so the window
+                                  # suffices — measured identical accuracy
+                                  # to 256 at 2x less FFT time)
     hist_grid_z: int = 8          # wrapped grid cells along z
     hist_topk: int = 5            # NMS peaks kept (utils_hist.py:21 topk_nms k)
     hist_nms_kernel: int = 11     # NMS max-pool kernel (utils_hist.py:24)

@@ -81,11 +81,20 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
     return jnp.where(swap, geo.invert_rigid(T), T)
 
 
-def match_eval(src_xyz, src_mask, dst_xyz, dst_mask, T, cfg: PipelineConfig):
-    """Symmetric NN statistics of a transformed pair. Ref utils_match.py:159-213."""
-    moved = geo.transform_points_batch(src_xyz, T)
-    _, dist_f = _knn.masked_nn(moved, dst_xyz, dst_mask, tile=cfg.nn_tile)
-    _, dist_b = _knn.masked_nn(dst_xyz, moved, src_mask, tile=cfg.nn_tile)
+def match_eval(src_xyz, src_mask, dst_xyz, dst_mask, T, cfg: PipelineConfig,
+               moved=None, dist_f=None, dist_b=None):
+    """Symmetric NN statistics of a transformed pair. Ref utils_match.py:159-213.
+
+    ``moved``/``dist_f``/``dist_b`` may be passed in when the caller already
+    ran the NN sweeps for this exact pose (``_solve_bucket``'s identity
+    evaluation does) — the sweeps are the expensive part of the stage.
+    """
+    if moved is None:
+        moved = geo.transform_points_batch(src_xyz, T)
+    if dist_f is None:
+        _, dist_f = _knn.masked_nn(moved, dst_xyz, dst_mask, tile=cfg.nn_tile)
+    if dist_b is None:
+        _, dist_b = _knn.masked_nn(dst_xyz, moved, src_mask, tile=cfg.nn_tile)
     wf = src_mask.astype(dist_f.dtype)
     wb = dst_mask.astype(dist_b.dtype)
     n_src = jnp.maximum(jnp.sum(wf, 1), 1e-9)
@@ -127,21 +136,26 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
 
     T = hist_icp(s_xyz, s_mask, d_xyz, d_mask, translation_frame, cfg)
     id_pt = jnp.zeros_like(s_mask)
+    moved = dist_f = dist_b = None
     if cfg.identity_margin > 0 or cfg.per_point_identity:
-        # per-point NN distances under identity and under T (reused for both
-        # the identity-preference rule and the per-point refinement)
+        # per-point NN distances under identity and under T (reused for the
+        # identity-preference rule, the per-point refinement, AND the
+        # match_eval statistics below — these four sweeps are the whole NN
+        # cost of the post-ICP stage, so nothing is computed twice)
         _, d_id = _knn.masked_nn(s_xyz, d_xyz, d_mask, tile=cfg.nn_tile)
+        _, d_id_b = _knn.masked_nn(d_xyz, s_xyz, s_mask, tile=cfg.nn_tile)
         wf = s_mask.astype(d_id.dtype)
+        wb = d_mask.astype(d_id.dtype)
         n_s = jnp.maximum(jnp.sum(wf, 1), 1e-9)
+        n_d = jnp.maximum(jnp.sum(wb, 1), 1e-9)
         err_f_id = jnp.sum(d_id * wf, 1) / n_s
-        err_b_id = _knn.masked_nn_error(d_xyz, d_mask, s_xyz, s_mask,
-                                        tile=cfg.nn_tile)
+        err_b_id = jnp.sum(d_id_b * wb, 1) / n_d
         err_id = jnp.minimum(err_f_id, err_b_id)
-        moved = geo.transform_points_batch(s_xyz, T)
-        _, d_T = _knn.masked_nn(moved, d_xyz, d_mask, tile=cfg.nn_tile)
+        moved_T = geo.transform_points_batch(s_xyz, T)
+        _, d_T = _knn.masked_nn(moved_T, d_xyz, d_mask, tile=cfg.nn_tile)
+        _, d_T_b = _knn.masked_nn(d_xyz, moved_T, s_mask, tile=cfg.nn_tile)
         err_f_T = jnp.sum(d_T * wf, 1) / n_s
-        err_b_T = _knn.masked_nn_error(d_xyz, d_mask, moved, s_mask,
-                                       tile=cfg.nn_tile)
+        err_b_T = jnp.sum(d_T_b * wb, 1) / n_d
         err_T = jnp.minimum(err_f_T, err_b_T)
         if cfg.identity_margin > 0:
             # identity preference: self-similar geometry lets ICP slide to a
@@ -152,6 +166,12 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
             T = jnp.where(prefer_id[:, None, None], eye, T)
         else:
             prefer_id = jnp.zeros(T.shape[:1], bool)
+        # hand the pose-consistent vectors to match_eval (identity wins ->
+        # the identity sweeps ARE that pair's statistics)
+        pid = prefer_id[:, None]
+        moved = jnp.where(prefer_id[:, None, None], s_xyz, moved_T)
+        dist_f = jnp.where(pid, d_id, d_T)
+        dist_b = jnp.where(pid, d_id_b, d_T_b)
         if cfg.per_point_identity:
             # static stowaways inside an under-segmented moving cluster: the
             # point's unmoved twin is an identity-NN inlier while its
@@ -162,7 +182,8 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
                      & (d_id < cfg.thres_dist)
                      & (d_T > 2.0 * cfg.thres_dist))
     stats, translation, rotation = match_eval(
-        s_xyz, s_mask, d_xyz, d_mask, T, cfg)
+        s_xyz, s_mask, d_xyz, d_mask, T, cfg,
+        moved=moved, dist_f=dist_f, dist_b=dist_b)
     accept = gates.check_transformation(
         translation, rotation, jnp.minimum(stats[:, 6], stats[:, 7]),
         translation_frame=translation_frame,
