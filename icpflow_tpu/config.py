@@ -103,6 +103,11 @@ class PipelineConfig:
     # progress worth burning an NN sweep on (demo sweep: 1e-6..1e-3 all safe,
     # 1e-3 slightly better on dynamic EPE)
     icp_stall_rel: float = 1e-3
+    # per-iteration correspondence cap: the source side of the ICP NN sweep
+    # is strided down to at most this many points (the sweep is the whole
+    # iteration cost); 0 = full. Pose error from k correspondences is
+    # O(1/sqrt(k)) of the full-set pose. Downstream evals stay full-res.
+    icp_corr_cap: int = 1024
     # NN-error margin ICP must beat the init by, else roll back to the init
     # pose (ops/icp.py apply_icp; extends utils_icp.py:26-35 — marginal NN
     # gains on self-similar geometry indicate drift). The relative form

@@ -42,7 +42,7 @@ class _IcpState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
-                     "stall_rel"))
+                     "stall_rel", "corr_cap"))
 def icp_core(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -55,17 +55,28 @@ def icp_core(
     tile: int = 1024,
     patience: int = 5,
     stall_rel: float = 1e-4,
+    corr_cap: int = 0,
 ) -> jnp.ndarray:
     """Rigid ICP aligning ``src`` onto ``dst``. Returns (B,4,4).
 
     The solved transform is absolute w.r.t. the *input* src frame each
     iteration (the reference aligns ``Xt_init`` to the current NN targets,
     `utils_icp_pytorch3d.py:163-174`), which avoids compounding drift.
+
+    ``corr_cap`` > 0 strides the SOURCE side of the per-iteration
+    correspondence search down to at most that many points. The Kabsch pose
+    from k strided correspondences matches the full-set pose to O(1/sqrt(k))
+    (the NN sweep is the entire iteration cost and scales with the query
+    count); the dst side and every downstream evaluation stay complete.
     """
     b = src.shape[0]
     f32 = jnp.float32
     src = src.astype(f32)
     dst = dst.astype(f32)
+    if corr_cap and src.shape[1] > corr_cap:
+        stride = -(-src.shape[1] // corr_cap)
+        src = src[:, ::stride]
+        src_mask = src_mask[:, ::stride]
 
     def body(s: _IcpState) -> _IcpState:
         moved = jnp.einsum("bij,bnj->bni", s.R, src) + s.t[:, None, :]
@@ -133,7 +144,7 @@ def icp_core(
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
-                     "stall_rel"))
+                     "stall_rel", "corr_cap"))
 def apply_icp(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -147,6 +158,7 @@ def apply_icp(
     tile: int = 1024,
     patience: int = 5,
     stall_rel: float = 1e-4,
+    corr_cap: int = 0,
     init_margin: float = 0.0,
     init_margin_rel: float = 0.0,
 ) -> jnp.ndarray:
@@ -173,7 +185,7 @@ def apply_icp(
     rts = icp_core(src_init, src_mask, dst, dst_mask,
                    thres=thres, max_iters=max_iters,
                    rel_rmse=rel_rmse, tile=tile, patience=patience,
-                   stall_rel=stall_rel)
+                   stall_rel=stall_rel, corr_cap=corr_cap)
     rts = geo.compose(rts, init_poses)
 
     err_init = _knn.masked_nn_error(src_init, src_mask, dst, dst_mask,
