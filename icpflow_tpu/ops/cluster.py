@@ -66,7 +66,7 @@ _NBR9.sort(key=lambda o: (o != (0, 0), o))
     jax.jit,
     static_argnames=("eps", "min_points", "num_clusters", "cell_cap",
                      "max_iters", "tile", "eps_scale_per_m", "eps_max",
-                     "range_cap"),
+                     "range_cap", "debug_edges"),
 )
 def dbscan(
     xyz: jnp.ndarray,
@@ -81,6 +81,7 @@ def dbscan(
     eps_scale_per_m: float = 0.0,
     eps_max: float = 1.0,
     range_cap: int | None = None,
+    debug_edges: bool = False,
 ) -> jnp.ndarray:
     """Labels (N,) int32: 0..C-1 size-ranked clusters, -1 noise/dropped.
 
@@ -241,21 +242,25 @@ def dbscan(
     edges = edges.reshape(-1, 18)[:n]                             # sorted layout
 
     core = (counts >= min_points) & valid_s
+    if debug_edges:
+        # profiling hook: sorted-layout edge slab + core mask + sort order
+        return edges, core, order
 
     # --- 4. min-label propagation over core points -----------------------
     # The (N, 18) edge slab is mostly empty (sparse far-range points have
     # few runs with hits), and each relax round moves every slot through
     # the gather/scatter units at ~7 ns/element — so the slab is compacted
     # ONCE to a flat (M, 2) endpoint list and every round touches only real
-    # edges. The cap ``5 * n`` is part of the fixed-degree graph
-    # approximation (dense regions saturate at 18/point; the slab path
-    # below is the exact fallback when the compaction cap overflows).
+    # edges. The cap ``4 * n`` is part of the fixed-degree graph
+    # approximation (demo occupancy: 2.76 real edges/point; dense regions
+    # saturate at 18/point, where the slab path below is the exact
+    # fallback when the compaction cap overflows).
     idx = jnp.arange(n, dtype=jnp.int32)
     core_pad = jnp.concatenate([core, jnp.zeros((1,), bool)])
     init_label = jnp.where(core, idx, n)
 
     flat_v = edges.reshape(-1)
-    ecap = min(5 * n, flat_v.shape[0])
+    ecap = min(4 * n, flat_v.shape[0])
     n_real = jnp.sum((flat_v < n).astype(jnp.int32))
 
     def jumps_twice(new):
