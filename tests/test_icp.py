@@ -84,3 +84,54 @@ def test_batched_mixed_difficulty():
         moved = ss[k][ms[k]] @ Tk[:3, :3].T + Tk[:3, 3]
         err = np.linalg.norm(moved - ds[k][ms[k]], axis=1).mean()
         assert err < 0.02, (k, err)
+
+
+def test_icp_corr_cap_matches_full_resolution_pose():
+    # Kabsch from strided correspondences recovers the same transform as
+    # the full set to O(1/sqrt(k)) (ops/icp.py corr_cap)
+    rng = np.random.default_rng(3)
+    R = rot_z(3.0)
+    t = np.array([0.06, -0.03, 0.02], np.float32)
+    s, d, m = make_case(rng, 2000, R, t, 2048)
+    kw = dict(thres=0.3, tile=256)
+    T_full = np.asarray(icp_core(
+        jnp.asarray(s)[None], jnp.asarray(m)[None],
+        jnp.asarray(d)[None], jnp.asarray(m)[None], **kw))[0]
+    T_cap = np.asarray(icp_core(
+        jnp.asarray(s)[None], jnp.asarray(m)[None],
+        jnp.asarray(d)[None], jnp.asarray(m)[None], corr_cap=256, **kw))[0]
+    np.testing.assert_allclose(T_cap[:3, :3], T_full[:3, :3], atol=3e-3)
+    np.testing.assert_allclose(T_cap[:3, 3], T_full[:3, 3], atol=2e-2)
+
+
+def test_apply_icp_relative_margin_rolls_back_marginal_gains():
+    # a pair where ICP cannot improve on a perfect init: with a relative
+    # margin the init must win; without, either pose is acceptable but the
+    # returned pose must still align src onto dst
+    rng = np.random.default_rng(4)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.5, 0.0, 0.0], np.float32)
+    s, d, m = make_case(rng, 400, R, t, 512)
+    init = np.eye(4, dtype=np.float32)
+    init[:3, 3] = t  # exact init
+    T = np.asarray(apply_icp(
+        jnp.asarray(s)[None], jnp.asarray(m)[None],
+        jnp.asarray(d)[None], jnp.asarray(m)[None],
+        jnp.asarray(init)[None], thres=0.3, tile=128,
+        init_margin_rel=0.02))[0]
+    np.testing.assert_allclose(T, init, atol=1e-5)
+
+
+def test_icp_latch_early_exit_same_pose_as_full_run():
+    # converged pairs exit the while_loop early via the per-pair latch and
+    # must land on the same pose as an effectively-unbounded run
+    rng = np.random.default_rng(5)
+    R = rot_z(2.0)
+    t = np.array([0.03, 0.02, -0.01], np.float32)
+    s, d, m = make_case(rng, 300, R, t, 512)
+    args = (jnp.asarray(s)[None], jnp.asarray(m)[None],
+            jnp.asarray(d)[None], jnp.asarray(m)[None])
+    T_latch = np.asarray(icp_core(*args, thres=0.3, tile=128, patience=5))[0]
+    T_long = np.asarray(icp_core(*args, thres=0.3, tile=128,
+                                 patience=10000))[0]
+    np.testing.assert_allclose(T_latch, T_long, atol=1e-5)
