@@ -187,13 +187,14 @@ def heldout_eval(cfg):
             for j, pair in enumerate(pairs, start=1):
                 gt = data["scene_flow"][ti == j]
                 sd = data["sd_labels"][ti == j]
-                dyn_pad = np.zeros((hcfg.max_points_scene,), bool)
-                dyn_pad[: len(sd)] = sd > 0
                 p_src, v_src, l_src = engine.pad_cloud(
                     pair["point_src"], pair["label_src"])
                 p_dst, v_dst, l_dst = engine.pad_cloud(
                     pair["point_dst"], pair["label_dst"])
-                gt_pad = np.zeros((hcfg.max_points_scene, 3), np.float32)
+                npad = len(p_src)
+                dyn_pad = np.zeros((npad,), bool)
+                dyn_pad[: len(sd)] = sd > 0
+                gt_pad = np.zeros((npad, 3), np.float32)
                 gt_pad[: len(gt)] = gt
                 tf = hcfg.translation_frame(j)
                 outp = engine.track_pair(
@@ -204,7 +205,7 @@ def heldout_eval(cfg):
                 # (frame-0 reconstruction - raw), so compose with the ego step
                 pose = np.asarray(data["ego_poses"][j], np.float32)
                 raw_j = data["raw_points"][ti == j, :3]
-                raw_pad = np.zeros((hcfg.max_points_scene, 3), np.float32)
+                raw_pad = np.zeros((npad, 3), np.float32)
                 raw_pad[: len(raw_j)] = raw_j
                 flow = engine.flow(jnp.asarray(raw_pad), jnp.asarray(l_src),
                                    outp.result.transforms, pose)
@@ -243,7 +244,7 @@ def main():
     p_src, v_src = engine.pad_cloud(data["point_src"])
     p_dst, v_dst = engine.pad_cloud(data["point_dst"])
     gt = data["scene_flow"]
-    gt_pad = np.zeros((cfg.max_points_scene, 3), np.float32)
+    gt_pad = np.zeros((len(p_src), 3), np.float32)
     gt_pad[: len(gt)] = gt
     jps, jvs = jnp.asarray(p_src), jnp.asarray(v_src)
     jpd, jvd = jnp.asarray(p_dst), jnp.asarray(v_dst)

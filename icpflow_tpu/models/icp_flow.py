@@ -196,12 +196,36 @@ class SceneFlowEngine:
             jnp.asarray(pose, jnp.float32))
 
     # -- host-friendly helpers -------------------------------------------
-    def pad_cloud(self, pts: np.ndarray, labels: Optional[np.ndarray] = None):
-        """Pad an (n,3) host cloud to the static scene bucket."""
+    def pad_cloud(self, pts: np.ndarray, labels: Optional[np.ndarray] = None,
+                  bucket="auto"):
+        """Pad an (n,3) host cloud to a static scene bucket.
+
+        ``bucket="auto"`` (default) picks the smallest power-of-two bucket
+        that holds the cloud (floor 2048, cap ``cfg.max_points_scene``):
+        every device stage downstream scales with the padded size, and a
+        fixed worst-case bucket wastes its slack on EVERY cloud (the demo
+        fixture: 63k valid points in a 131k bucket = 52% of the cluster
+        stage spent on padding). Distinct bucket sizes compile distinct
+        programs — the persistent compilation cache amortises that.
+        ``bucket=None`` pads to ``cfg.max_points_scene``; an int pads to
+        exactly that size. Callers must size companion arrays from the
+        RETURNED arrays, not from the config.
+        """
         n = len(pts)
-        cap = self.cfg.max_points_scene
-        if n > cap:
-            raise ValueError(f"cloud of {n} points exceeds bucket {cap}")
+        hard_cap = self.cfg.max_points_scene
+        if n > hard_cap:
+            raise ValueError(f"cloud of {n} points exceeds bucket {hard_cap}")
+        if bucket == "auto":
+            cap = 2048
+            while cap < n:
+                cap *= 2
+            cap = min(cap, hard_cap)
+        elif bucket is None:
+            cap = hard_cap
+        else:
+            cap = int(bucket)
+            if n > cap:
+                raise ValueError(f"cloud of {n} points exceeds bucket {cap}")
         out = np.zeros((cap, 3), np.float32)
         out[:n] = pts[:, :3]
         valid = np.zeros((cap,), bool)

@@ -41,7 +41,7 @@ def main():
     engine = SceneFlowEngine(cfg)
     p_src, v_src = engine.pad_cloud(data["point_src"])
     p_dst, v_dst = engine.pad_cloud(data["point_dst"])
-    gt_pad = np.zeros((cfg.max_points_scene, 3), np.float32)
+    gt_pad = np.zeros((len(p_src), 3), np.float32)
     gt_pad[: len(data["scene_flow"])] = data["scene_flow"]
     jps, jvs = jnp.asarray(p_src), jnp.asarray(v_src)
     jpd, jvd = jnp.asarray(p_dst), jnp.asarray(v_dst)
