@@ -121,6 +121,18 @@ class PipelineConfig:
     thres_error: float = 0.2
     thres_iou: float = 0.2
     thres_rot: float = 0.1
+    # range-adaptive inlier radius for the match statistics (framework
+    # extension; 0.0 = exact reference behavior). LiDAR point spacing grows
+    # linearly with range (beam divergence), so the fixed ``thres_dist``
+    # inlier radius undercounts far clusters: a correctly posed sparse mover
+    # at 35 m has ring spacing >> 0.1 m and can NEVER clear the IoU gate
+    # (measured on the demo fixture: a 102-point car at 34 m peaks at IoU
+    # 0.16 under its ground-truth pose). The statistics radius becomes
+    # min(thres_dist * (1 + scale * range_m), inlier_radius_max); the ICP
+    # correspondence gate and thres_error keep the fixed thres_dist.
+    # Same philosophy as eps_scale_per_m for DBSCAN.
+    inlier_scale_per_m: float = 0.0
+    inlier_radius_max: float = 0.3
     # extension beyond the reference gate set (utils_check.py:51-66): reject
     # matches whose centroid shift has a large vertical component — ground
     # vehicles do not move vertically, and degenerate ICP solutions sliding
@@ -196,6 +208,7 @@ WAYMO = PipelineConfig(
     epsilon=0.6, eps_scale_per_m=0.012, eps_max=0.8,
     speed=1.67, thres_dist=0.1, max_points=10000,
     thres_box=0.1, thres_rot=0.1, thres_error=0.3, thres_iou=0.2,
+    inlier_scale_per_m=0.02,
 )
 
 NUSCENES = PipelineConfig(
@@ -204,6 +217,7 @@ NUSCENES = PipelineConfig(
     epsilon=0.6, eps_scale_per_m=0.012, eps_max=0.8,
     speed=0.833333, thres_dist=0.1, max_points=5000,
     thres_box=0.1, thres_rot=0.1, thres_error=0.2, thres_iou=0.2,
+    inlier_scale_per_m=0.02,
 )
 
 ARGO = PipelineConfig(
@@ -212,7 +226,7 @@ ARGO = PipelineConfig(
     min_cluster_size=20, epsilon=0.6, eps_scale_per_m=0.012, eps_max=0.8,
     speed=1.67, thres_dist=0.1,
     max_points=10000, thres_box=0.1, thres_rot=0.1, thres_error=0.2,
-    thres_iou=0.2,
+    thres_iou=0.2, inlier_scale_per_m=0.02,
 )
 
 DEMO = ARGO.replace(speed=1.0)

@@ -89,6 +89,12 @@ def match_eval(src_xyz, src_mask, dst_xyz, dst_mask, T, cfg: PipelineConfig,
     ``moved``/``dist_f``/``dist_b`` may be passed in when the caller already
     ran the NN sweeps for this exact pose (``_solve_bucket``'s identity
     evaluation does) — the sweeps are the expensive part of the stage.
+
+    Deliberate deviation (off by default): with ``cfg.inlier_scale_per_m``
+    > 0 the inlier radius behind the inl/ratio/iou columns grows with the
+    cluster's sensor range (see the config comment) so sparse far clusters
+    are gated on a radius commensurate with their point spacing. The err
+    columns are means and stay radius-free.
     """
     if moved is None:
         moved = geo.transform_points_batch(src_xyz, T)
@@ -101,8 +107,14 @@ def match_eval(src_xyz, src_mask, dst_xyz, dst_mask, T, cfg: PipelineConfig,
     n_src = jnp.maximum(jnp.sum(wf, 1), 1e-9)
     n_dst = jnp.maximum(jnp.sum(wb, 1), 1e-9)
 
-    inl_f = jnp.sum(((dist_f < cfg.thres_dist) & src_mask).astype(wf.dtype), 1)
-    inl_b = jnp.sum(((dist_b < cfg.thres_dist) & dst_mask).astype(wb.dtype), 1)
+    radius = cfg.thres_dist
+    if cfg.inlier_scale_per_m > 0:
+        rng = jnp.linalg.norm(geo.masked_mean(src_xyz, src_mask), axis=-1)
+        radius = jnp.minimum(
+            cfg.thres_dist * (1.0 + cfg.inlier_scale_per_m * rng),
+            cfg.inlier_radius_max)[:, None]
+    inl_f = jnp.sum(((dist_f < radius) & src_mask).astype(wf.dtype), 1)
+    inl_b = jnp.sum(((dist_b < radius) & dst_mask).astype(wb.dtype), 1)
     ratio_f = inl_f / n_src
     ratio_b = inl_b / n_dst
     iou_f = inl_f / jnp.maximum(n_src + n_dst - inl_b, 1e-9)

@@ -59,6 +59,72 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis: int = 1) -> jnp.ndarray
     return num / jnp.maximum(den, _EPS)
 
 
+def _svd3x3_jacobi(H: jnp.ndarray, sweeps: int = 6):
+    """Batched one-sided (Hestenes) Jacobi SVD of (B, 3, 3) matrices.
+
+    ``jnp.linalg.svd`` lowers to a general-purpose factorization whose device
+    cost dwarfs the 3x3 problem (measured 1.2 ms for 256 matrices on a v5e —
+    more than the ICP NN sweep it feeds). One-sided Jacobi is a handful of
+    fully batched vector ops: right-rotate column pairs until all columns are
+    mutually orthogonal (W = H V), then the column norms are the singular
+    values and the normalized columns are U. Unlike the eigh-of-H^T H route
+    it never squares the condition number. 6 unrolled cyclic sweeps drive the
+    off-diagonal mass below f32 noise for any 3x3 (quadratic convergence).
+
+    Returns (U, S, V) with H = U diag(S) V^T, S sorted descending.
+    U's columns are L2-normalized where S > 0; zero where S == 0.
+    """
+    W = H
+    V = jnp.broadcast_to(jnp.eye(3, dtype=H.dtype), H.shape)
+
+    def rotate(W, V, p, q):
+        wp = W[:, :, p]
+        wq = W[:, :, q]
+        a = jnp.sum(wp * wp, axis=1)
+        b = jnp.sum(wq * wq, axis=1)
+        c = jnp.sum(wp * wq, axis=1)
+        # Jacobi angle: tan(2th) = 2c / (a - b); stable via tau cotangent
+        small = jnp.abs(c) <= _EPS * jnp.sqrt(a * b + _EPS)
+        tau = (b - a) / (2.0 * jnp.where(small, 1.0, c))
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        cs = 1.0 / jnp.sqrt(1.0 + t * t)
+        sn = cs * t
+        csn = cs[:, None]
+        snn = sn[:, None]
+        W = W.at[:, :, p].set(csn * wp - snn * wq)
+        W = W.at[:, :, q].set(snn * wp + csn * wq)
+        vp = V[:, :, p]
+        vq = V[:, :, q]
+        V = V.at[:, :, p].set(csn * vp - snn * vq)
+        V = V.at[:, :, q].set(snn * vp + csn * vq)
+        return W, V
+
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            W, V = rotate(W, V, p, q)
+
+    S = jnp.sqrt(jnp.sum(W * W, axis=1))                        # (B,3)
+
+    def order(W, V, S, p, q):                                   # S[p] >= S[q]
+        swap = S[:, q] > S[:, p]
+        sw = swap[:, None]
+
+        def sw2(M):
+            mp, mq = M[:, :, p], M[:, :, q]
+            return (M.at[:, :, p].set(jnp.where(sw, mq, mp))
+                     .at[:, :, q].set(jnp.where(sw, mp, mq)))
+
+        S = (S.at[:, p].set(jnp.where(swap, S[:, q], S[:, p]))
+              .at[:, q].set(jnp.where(swap, S[:, p], S[:, q])))
+        return sw2(W), sw2(V), S
+
+    for p, q in ((0, 1), (1, 2), (0, 1)):                       # sort network
+        W, V, S = order(W, V, S, p, q)
+    U = W / jnp.maximum(S, _EPS)[:, None, :]
+    return U, S, V
+
+
 def kabsch(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -68,9 +134,14 @@ def kabsch(
 
     Batched Umeyama solve with reflection fix, the masked equivalent of
     `utils_icp_pytorch3d.py:233-382` (weighted covariance -> SVD -> det fix)
-    expressed in column convention. Degenerate inputs (all-zero weights or
-    rank-deficient covariance) fall back to identity rotation with a pure
-    centroid-difference translation.
+    expressed in column convention, with the SVD done by the batched 3x3
+    Jacobi kernel above. The reflection fix is folded into the factor
+    construction: the two leading left columns are re-orthonormalized from
+    H V, the third columns of BOTH factors are completed by cross products
+    (making each factor a proper rotation), and then R = V U^T equals
+    V diag(1, 1, det(V U^T)) U^T of the SVD formulation for every sign case.
+    Degenerate inputs (all-zero weights, coincident or collinear points)
+    fall back to identity rotation with a centroid-difference translation.
 
     Args:
       src: (B, N, 3) source points.
@@ -91,14 +162,35 @@ def kabsch(
                    precision=jax.lax.Precision.HIGHEST)
     H = H / jnp.maximum(total, _EPS)[:, None, None]
 
-    U, S, Vt = jnp.linalg.svd(H)
-    # reflection fix: R = V diag(1,1,det(V U^T)) U^T  (column convention)
-    det = jnp.linalg.det(jnp.einsum("bji,bkj->bik", Vt, U))     # det(V @ U^T)
-    D = jnp.zeros_like(H).at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
-    D = D.at[:, 2, 2].set(det)
-    R = jnp.einsum("bji,bjk,blk->bil", Vt, D, U)               # V @ D @ U^T
+    U, S, V = _svd3x3_jacobi(H)
+    # proper-rotation factors: u3 = u1 x u2 and v3 = v1 x v2 flip exactly
+    # the reflected third columns, so R = V U^T carries the det fix.
+    # Collinear correspondences (S2 ~ 0) leave u2 noise-driven: rebuild it
+    # orthonormal to u1, falling back to an arbitrary perpendicular.
+    u1 = U[:, :, 0]
+    n1 = jnp.linalg.norm(u1, axis=1, keepdims=True)
+    u1 = u1 / jnp.maximum(n1, _EPS)
+    u2 = U[:, :, 1]
+    u2 = u2 - jnp.sum(u2 * u1, axis=1, keepdims=True) * u1
+    n2 = jnp.linalg.norm(u2, axis=1, keepdims=True)
+    alt = jnp.cross(u1, jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0], src.dtype), u1.shape))
+    alt2 = jnp.cross(u1, jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], src.dtype), u1.shape))
+    alt = jnp.where(
+        (jnp.linalg.norm(alt, axis=1) >= jnp.linalg.norm(alt2, axis=1)
+         )[:, None], alt, alt2)
+    u2 = jnp.where(n2 > 1e-6, u2 / jnp.maximum(n2, _EPS),
+                   alt / jnp.maximum(jnp.linalg.norm(alt, axis=1,
+                                                     keepdims=True), _EPS))
+    u3 = jnp.cross(u1, u2)
+    Up = jnp.stack([u1, u2, u3], axis=2)
+    v3 = jnp.cross(V[:, :, 0], V[:, :, 1])
+    Vp = jnp.concatenate([V[:, :, :2], v3[:, :, None]], axis=2)
+    R = jnp.einsum("bij,bkj->bik", Vp, Up)                     # V @ U^T
 
-    degenerate = (total < 1.0) | ~jnp.isfinite(S).all(axis=1)
+    degenerate = ((total < 1.0) | ~jnp.isfinite(S).all(axis=1)
+                  | (S[:, 0] <= 1e-12) | (n1[:, 0] <= 1e-6))
     R = jnp.where(degenerate[:, None, None], jnp.eye(3, dtype=src.dtype), R)
     t = mu_d - jnp.einsum("bij,bj->bi", R, mu_s)
     t = jnp.where(jnp.isfinite(t), t, 0.0)

@@ -198,8 +198,15 @@ def estimate_init_translation(
          (iz - lz // 2).astype(f32) * bin_w], axis=-1)            # (B,topk,3)
     t_cand = t_res + dc_shift[:, None, :]
     t_cand = jnp.where(top_votes[:, :, None] > 0, t_cand, 0.0)
-    # zero-translation candidate (utils_hist.py:83)
-    t_all = jnp.concatenate([t_cand, jnp.zeros((b, 1, 3), f32)], axis=1)
+    # zero-translation candidate (utils_hist.py:83) plus the exact centroid
+    # difference (framework extension). For a sparse mover the histogram can
+    # vote a dominant-face alignment whose translation is off by up to the
+    # object radius — ICP then has to crawl metres along self-similar
+    # geometry and may diverge or roll back. The centroid difference has no
+    # such bias when the two clusters cover the same object, and scoring by
+    # NN error keeps it harmless when they don't.
+    t_all = jnp.concatenate(
+        [t_cand, jnp.zeros((b, 1, 3), f32), dc[:, None, :]], axis=1)
     k = t_all.shape[1]
 
     # score candidates: symmetric masked mean NN error (utils_hist.py:86-105)

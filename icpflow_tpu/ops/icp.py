@@ -80,8 +80,10 @@ def icp_core(
 
     def body(s: _IcpState) -> _IcpState:
         moved = jnp.einsum("bij,bnj->bni", s.R, src) + s.t[:, None, :]
-        idx, dist = _knn.masked_nn(moved, dst, dst_mask, tile=tile)
-        nn_pts = jnp.take_along_axis(dst, idx[:, :, None], axis=1)
+        # points-returning NN: the matched coordinates come out of the
+        # kernel directly — a take_along_axis here costs ~1 row-gather per
+        # src point, more than the sweep itself at the small bucket
+        nn_pts, dist = _knn.masked_nn_points(moved, dst, dst_mask, tile=tile)
         inlier = (dist <= thres) & src_mask
         R, t = geo.kabsch(src, nn_pts, inlier)
         moved2 = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]

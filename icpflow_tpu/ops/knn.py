@@ -76,6 +76,40 @@ def masked_nn(
     return _masked_nn_xla(src, dst, dst_mask, tile=tile)
 
 
+def masked_nn_points(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+    tile: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each src point: coordinates and distance of nearest valid dst.
+
+    The ICP loop form of ``masked_nn``: returns the matched POINTS instead
+    of indices, so no per-point gather follows the sweep (on TPU the
+    selection happens in-register inside the Pallas kernel; the XLA
+    fallback gathers).
+
+    Returns:
+      pts: (B, N, 3) nearest valid dst coordinates (zeros if none valid).
+      dist: (B, N) euclidean distance (~1e15 where no dst is valid).
+    """
+    m = dst.shape[1]
+    n = src.shape[1]
+    if jax.default_backend() == "tpu" and 128 <= m <= 8192:
+        import os
+        from .pallas.nn_kernel import masked_nn_points_pallas
+        rup = lambda v: -(-v // 128) * 128
+        return masked_nn_points_pallas(
+            src, dst, dst_mask,
+            tn=min(1024, rup(n)), tm=min(1024, rup(m)),
+            variant=os.environ.get("ICPFLOW_NN_VARIANT", "mxu"))
+    idx, dist = _masked_nn_xla(src, dst, dst_mask, tile=tile)
+    pts = jnp.take_along_axis(dst, idx[:, :, None], axis=1)
+    no_valid = ~jnp.any(dst_mask, axis=1)
+    pts = jnp.where(no_valid[:, None, None], 0.0, pts)
+    return pts, dist
+
+
 @functools.partial(jax.jit, static_argnames=("tile",))
 def _masked_nn_xla(
     src: jnp.ndarray,

@@ -102,6 +102,107 @@ def _nn_kernel_vpu(src_ref, dst_ref, mask_ref, dist_ref, idx_ref, *, tm: int):
     idx_ref[0] = jnp.minimum(best_i, m - 1)
 
 
+def _nn_kernel_pts(src_ref, dst_ref, mask_ref, dist_ref, pts_ref, *,
+                   tm: int, variant: str):
+    """NN search that also returns the nearest point's COORDINATES.
+
+    The ICP inner loop needs the matched dst points, not their indices: an
+    XLA ``take_along_axis`` after the kernel moves one row per src point
+    through the gather unit (~7 ns/row — 0.9 ms at the small matcher bucket,
+    more than the NN sweep itself). Here the winning candidate's coordinates
+    are selected in-register per dst tile with a one-hot masked reduction,
+    so the gather never materializes.
+    """
+    x = src_ref[0]                                     # (3, TN)
+    tn = x.shape[1]
+    m = dst_ref.shape[2]
+    n_tiles = m // tm
+    if variant == "mxu":
+        xsq = jnp.sum(x * x, axis=0, keepdims=True)    # (1, TN)
+
+    def body(t, carry):
+        best_d, best_y = carry                         # (1,TN), (3,TN)
+        j0 = t * tm
+        y = dst_ref[0, :, pl.ds(j0, tm)]               # (3, TM)
+        msk = mask_ref[0, pl.ds(j0, tm), :]            # (TM, 1)
+        if variant == "mxu":
+            cross = jax.lax.dot_general(
+                y, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # (TM, TN)
+            ysq = jnp.sum(y * y, axis=0)
+            d2 = xsq - 2.0 * cross + ysq[:, None]
+        else:
+            d0 = y[0][:, None] - x[0][None, :]
+            d1 = y[1][:, None] - x[1][None, :]
+            d2c = y[2][:, None] - x[2][None, :]
+            d2 = d0 * d0 + d1 * d1 + d2c * d2c
+        d2 = jnp.where(msk, d2, _BIG)
+        tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TN)
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        tile_arg = jnp.min(
+            jnp.where(d2 <= tile_min, j_iota, m), axis=0, keepdims=True)
+        onehot = j_iota == tile_arg                    # (TM, TN) exactly one
+        ysel = jnp.stack([
+            jnp.sum(jnp.where(onehot, y[d][:, None], 0.0), axis=0)
+            for d in range(3)])                        # (3, TN)
+        take = tile_min < best_d
+        return (jnp.where(take, tile_min, best_d),
+                jnp.where(take, ysel, best_y))
+
+    init = (jnp.full((1, tn), _BIG, jnp.float32),
+            jnp.zeros((3, tn), jnp.float32))
+    best_d, best_y = jax.lax.fori_loop(0, n_tiles, body, init)
+    dist_ref[0] = best_d
+    pts_ref[0] = best_y
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tn", "tm", "interpret", "variant"))
+def masked_nn_points_pallas(src, dst, dst_mask, *, tn: int = 1024,
+                            tm: int = 1024, interpret: bool = False,
+                            variant: str = "mxu"):
+    """Like ``masked_nn_pallas`` but returns (nn_points, dist).
+
+    ``nn_points`` is (B, N, 3): the coordinates of each src point's nearest
+    valid dst point (zeros where no dst is valid — the BIG dist masks those
+    downstream).
+    """
+    b, n, _ = src.shape
+    m = dst.shape[1]
+    src_t = _pad_axis(jnp.swapaxes(src.astype(jnp.float32), 1, 2), tn, 2, 0.0)
+    dst_t = _pad_axis(jnp.swapaxes(dst.astype(jnp.float32), 1, 2), tm, 2, 0.0)
+    mask_p = _pad_axis(dst_mask.astype(bool), tm, 1, False)[:, :, None]
+    np_, mp = src_t.shape[2], dst_t.shape[2]
+
+    grid = (b, np_ // tn)
+    dist, pts = pl.pallas_call(
+        functools.partial(_nn_kernel_pts, tm=tm, variant=variant),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tn), lambda bb, ii: (bb, 0, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, mp), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, 1), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tn), lambda bb, ii: (bb, 0, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tn), lambda bb, ii: (bb, 0, ii),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, np_), jnp.float32),
+        ],
+        interpret=interpret,
+    )(src_t, dst_t, mask_p)
+    return (jnp.swapaxes(pts[:, :, :n], 1, 2),
+            jnp.sqrt(jnp.maximum(dist[:, 0, :n], 0.0)))
+
+
 def _pad_axis(x, multiple, axis, value):
     n = x.shape[axis]
     rem = (-n) % multiple

@@ -55,6 +55,54 @@ def test_kabsch_recovers_known_transform():
         assert np.linalg.det(np.asarray(R_est)[b]) == pytest.approx(1.0, abs=1e-4)
 
 
+def test_svd3x3_jacobi_reconstructs():
+    rng = np.random.default_rng(3)
+    H = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    # include near-degenerate members: rank-1, rank-2, scaled reflections
+    H[0] = np.outer([1, 2, 3], [0.5, -1, 2])
+    H[1] = np.diag([1.0, 1e-7, 0.0])
+    H[2] = -np.eye(3)  # pure reflection
+    U, S, V = (np.asarray(x) for x in geo._svd3x3_jacobi(jnp.asarray(H)))
+    # singular values match LAPACK, sorted descending
+    S_ref = np.linalg.svd(H, compute_uv=False)
+    np.testing.assert_allclose(S, S_ref, rtol=1e-4, atol=1e-5)
+    assert (np.diff(S, axis=1) <= 1e-5).all()
+    # reconstruction H = U diag(S) V^T
+    rec = np.einsum("bij,bj,bkj->bik", U, S, V)
+    np.testing.assert_allclose(rec, H, rtol=1e-4, atol=1e-4)
+    # V orthogonal everywhere; U columns orthonormal where S is nonzero
+    np.testing.assert_allclose(
+        np.einsum("bij,bik->bjk", V, V), np.broadcast_to(np.eye(3), V.shape),
+        atol=1e-4)
+
+
+def test_kabsch_rank_deficient_correspondences():
+    """Planar and collinear correspondence sets must still yield a proper
+    rotation mapping src onto dst (the reflection-fix cases SVD handles via
+    diag(1,1,det); the Jacobi path must match)."""
+    rng = np.random.default_rng(4)
+    N = 64
+    R_true = random_rotation(rng)
+    t_true = rng.normal(size=3)
+    # planar cloud (z=0) and collinear cloud (x axis)
+    planar = rng.normal(size=(N, 3)).astype(np.float32)
+    planar[:, 2] = 0.0
+    collinear = np.zeros((N, 3), np.float32)
+    collinear[:, 0] = rng.normal(size=N)
+    src = np.stack([planar, collinear])
+    dst = np.einsum("ij,bnj->bni", R_true, src) + t_true
+    w = np.ones((2, N), np.float32)
+    R, t = (np.asarray(x) for x in
+            geo.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)))
+    for b in range(2):
+        assert np.linalg.det(R[b]) == pytest.approx(1.0, abs=1e-4)
+        moved = src[b] @ R[b].T + t[b]
+        # the pose itself is ambiguous for rank-deficient sets; the mapped
+        # points must still land on dst
+        np.testing.assert_allclose(moved, np.asarray(dst)[b],
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_kabsch_degenerate_inputs_are_finite():
     B, N = 2, 16
     src = jnp.zeros((B, N, 3))

@@ -1,7 +1,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from icpflow_tpu.ops.knn import masked_nn, masked_nn_error
+from icpflow_tpu.ops.knn import masked_nn, masked_nn_error, masked_nn_points
 
 
 def brute_force(src, dst, dst_mask):
@@ -35,6 +35,35 @@ def test_masked_nn_all_dst_invalid_is_finite_path():
     idx, dist = masked_nn(src, dst, mask)
     assert np.asarray(dist).min() > 1e10  # sentinel large
     assert np.asarray(idx).min() >= 0
+
+
+def test_masked_nn_points_matches_index_form():
+    rng = np.random.default_rng(2)
+    B, N, M = 3, 100, 257
+    src = rng.normal(size=(B, N, 3)).astype(np.float32) * 10
+    dst = rng.normal(size=(B, M, 3)).astype(np.float32) * 10
+    mask = rng.random((B, M)) > 0.3
+    mask[:, 0] = True
+    idx, dist = masked_nn(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(mask), tile=64)
+    pts, dist2 = masked_nn_points(jnp.asarray(src), jnp.asarray(dst),
+                                  jnp.asarray(mask), tile=64)
+    np.testing.assert_allclose(np.asarray(dist2), np.asarray(dist),
+                               rtol=1e-4, atol=1e-4)
+    gathered = np.take_along_axis(dst, np.asarray(idx)[:, :, None], axis=1)
+    # tie-breaking may differ; the picked point's distance must agree
+    d_pts = np.linalg.norm(src - np.asarray(pts), axis=-1)
+    d_gth = np.linalg.norm(src - gathered, axis=-1)
+    np.testing.assert_allclose(d_pts, d_gth, rtol=1e-4, atol=1e-4)
+
+
+def test_masked_nn_points_all_invalid_returns_zeros():
+    src = jnp.ones((1, 8, 3))
+    dst = jnp.ones((1, 8, 3)) * 5
+    mask = jnp.zeros((1, 8), bool)
+    pts, dist = masked_nn_points(src, dst, mask)
+    assert np.asarray(dist).min() > 1e10
+    np.testing.assert_allclose(np.asarray(pts), 0.0)
 
 
 def test_masked_nn_error_means_only_valid_src():
