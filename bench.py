@@ -361,6 +361,7 @@ def main():
                                patience=cfg.icp_patience,
                                stall_rel=cfg.icp_stall_rel,
                                corr_cap=cfg.icp_corr_cap,
+                               shrink=cfg.icp_shrink,
                                init_margin_rel=cfg.icp_init_margin_rel)
             return x + 1e-30 * T[:, :3, 3][:, None, :], T
 

@@ -115,6 +115,12 @@ class PipelineConfig:
     # are not wrongly rolled back (an absolute 5 mm margin was).
     icp_init_margin: float = 0.0
     icp_init_margin_rel: float = 0.02
+    # ICP tail compaction (ops/icp.py icp_core): once at most B//shrink
+    # pairs remain unfrozen, they compact into a bucket shrink-x smaller and
+    # the convergence tail runs there at 1/shrink the sweep cost. Every body
+    # kernel treats batch rows independently, so results are bit-identical
+    # to the uncompacted loop; 0/1 disables.
+    icp_shrink: int = 8
 
     # --- pair gating (main.py:101-110, utils_check.py) ---
     thres_box: float = 0.1

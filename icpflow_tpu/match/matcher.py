@@ -76,7 +76,7 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
         thres=cfg.thres_dist, max_iters=cfg.icp_max_iters,
         rel_rmse=cfg.icp_rel_rmse, tile=cfg.nn_tile,
         patience=cfg.icp_patience, stall_rel=cfg.icp_stall_rel,
-        corr_cap=cfg.icp_corr_cap,
+        corr_cap=cfg.icp_corr_cap, shrink=cfg.icp_shrink,
         init_margin=cfg.icp_init_margin,
         init_margin_rel=cfg.icp_init_margin_rel)
     return jnp.where(swap, geo.invert_rigid(T), T)

@@ -42,7 +42,7 @@ class _IcpState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
-                     "stall_rel", "corr_cap"))
+                     "stall_rel", "corr_cap", "shrink"))
 def icp_core(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -56,6 +56,7 @@ def icp_core(
     patience: int = 5,
     stall_rel: float = 1e-4,
     corr_cap: int = 0,
+    shrink: int = 0,
 ) -> jnp.ndarray:
     """Rigid ICP aligning ``src`` onto ``dst``. Returns (B,4,4).
 
@@ -68,6 +69,16 @@ def icp_core(
     from k strided correspondences matches the full-set pose to O(1/sqrt(k))
     (the NN sweep is the entire iteration cost and scales with the query
     count); the dst side and every downstream evaluation stay complete.
+
+    ``shrink`` > 1 enables tail compaction: every iteration pays for the
+    WHOLE bucket, but the per-pair latch freezes the median pair by ~15
+    iterations while the convergence tail runs to ``max_iters`` — so phase 1
+    runs the full bucket only until at most ``B // shrink`` pairs remain
+    unfrozen, then the survivors (pose/latch state and their point rows) are
+    compacted into a bucket ``shrink``x smaller that finishes the tail at
+    1/shrink the sweep cost. Every kernel in the body (Pallas NN, Jacobi
+    Kabsch) treats batch rows independently, so the result is bit-identical
+    to the uncompacted loop — this is a pure scheduling change.
     """
     b = src.shape[0]
     f32 = jnp.float32
@@ -78,7 +89,8 @@ def icp_core(
         src = src[:, ::stride]
         src_mask = src_mask[:, ::stride]
 
-    def body(s: _IcpState) -> _IcpState:
+    def make_body(src, src_mask, dst, dst_mask):
+      def body(s: _IcpState) -> _IcpState:
         moved = jnp.einsum("bij,bnj->bni", s.R, src) + s.t[:, None, :]
         # points-returning NN: the matched coordinates come out of the
         # kernel directly — a take_along_axis here costs ~1 row-gather per
@@ -128,7 +140,9 @@ def icp_core(
             frozen=frozen,
             it=s.it + 1,
         )
+      return body
 
+    body = make_body(src, src_mask, dst, dst_mask)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (b, 3, 3))
     init = _IcpState(
         R=eye, t=jnp.zeros((b, 3), f32),
@@ -138,15 +152,44 @@ def icp_core(
         frozen=jnp.zeros((b,), bool),
         it=jnp.int32(0),
     )
-    out = jax.lax.while_loop(
-        lambda s: (~jnp.all(s.frozen)) & (s.it < max_iters), body, init)
-    return geo.rt_to_mat(out.best_R, out.best_t)
+    cap2 = b // shrink if shrink and shrink > 1 else 0
+    if cap2 < 1:
+        out = jax.lax.while_loop(
+            lambda s: (~jnp.all(s.frozen)) & (s.it < max_iters), body, init)
+        return geo.rt_to_mat(out.best_R, out.best_t)
+
+    # phase 1: full bucket, but only until at most cap2 pairs remain unfrozen
+    s1 = jax.lax.while_loop(
+        lambda s: (jnp.sum(~s.frozen) > cap2) & (s.it < max_iters),
+        body, init)
+
+    # compact the survivors (and their point rows) into a cap2-sized bucket.
+    # Fill rows (fewer than cap2 survivors) enter frozen with empty masks,
+    # so they never update and are dropped by the scatter below.
+    (sel,) = jnp.nonzero(~s1.frozen, size=cap2, fill_value=b)
+    safe = jnp.minimum(sel, b - 1)
+    real = sel < b
+    sub = _IcpState(
+        R=s1.R[safe], t=s1.t[safe],
+        best_R=s1.best_R[safe], best_t=s1.best_t[safe],
+        best_rmse=s1.best_rmse[safe],
+        stale=s1.stale[safe],
+        frozen=~real,
+        it=s1.it)
+    body2 = make_body(src[safe], src_mask[safe] & real[:, None],
+                      dst[safe], dst_mask[safe] & real[:, None])
+    s2 = jax.lax.while_loop(
+        lambda s: (~jnp.all(s.frozen)) & (s.it < max_iters), body2, sub)
+
+    best_R = s1.best_R.at[sel].set(s2.best_R, mode="drop")
+    best_t = s1.best_t.at[sel].set(s2.best_t, mode="drop")
+    return geo.rt_to_mat(best_R, best_t)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
-                     "stall_rel", "corr_cap"))
+                     "stall_rel", "corr_cap", "shrink"))
 def apply_icp(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -161,6 +204,7 @@ def apply_icp(
     patience: int = 5,
     stall_rel: float = 1e-4,
     corr_cap: int = 0,
+    shrink: int = 0,
     init_margin: float = 0.0,
     init_margin_rel: float = 0.0,
 ) -> jnp.ndarray:
@@ -187,7 +231,7 @@ def apply_icp(
     rts = icp_core(src_init, src_mask, dst, dst_mask,
                    thres=thres, max_iters=max_iters,
                    rel_rmse=rel_rmse, tile=tile, patience=patience,
-                   stall_rel=stall_rel, corr_cap=corr_cap)
+                   stall_rel=stall_rel, corr_cap=corr_cap, shrink=shrink)
     rts = geo.compose(rts, init_poses)
 
     err_init = _knn.masked_nn_error(src_init, src_mask, dst, dst_mask,

@@ -135,3 +135,24 @@ def test_icp_latch_early_exit_same_pose_as_full_run():
     T_long = np.asarray(icp_core(*args, thres=0.3, tile=128,
                                  patience=10000))[0]
     np.testing.assert_allclose(T_latch, T_long, atol=1e-5)
+
+
+def test_icp_shrink_tail_compaction_is_bit_identical():
+    # tail compaction (icp_core shrink=...) is a scheduling change only:
+    # every body kernel treats batch rows independently, so the compacted
+    # loop must reproduce the uncompacted poses BIT-exactly — including
+    # pairs of mixed difficulty that freeze at very different iterations
+    rng = np.random.default_rng(6)
+    B, N = 8, 256
+    srcs, dsts, msks = [], [], []
+    for i in range(B):
+        R = rot_z(1.0 + 5.0 * (i % 3))
+        t = np.array([0.05 * i, -0.02 * i, 0.01], np.float32)
+        s, d, m = make_case(rng, 150 + 12 * i, R, t, N)
+        srcs.append(s); dsts.append(d); msks.append(m)
+    args = (jnp.asarray(np.stack(srcs)), jnp.asarray(np.stack(msks)),
+            jnp.asarray(np.stack(dsts)), jnp.asarray(np.stack(msks)))
+    kw = dict(thres=0.3, tile=128, patience=5)
+    T_plain = np.asarray(icp_core(*args, shrink=0, **kw))
+    T_shrunk = np.asarray(icp_core(*args, shrink=4, **kw))
+    np.testing.assert_array_equal(T_plain, T_shrunk)
