@@ -357,7 +357,7 @@ def main():
         def icp_step(x, bb=bb, msk=msk, init=init):
             T = _icp.apply_icp(x, msk, bb, msk, init, thres=cfg.thres_dist,
                                max_iters=cfg.icp_max_iters,
-                               rel_rmse=cfg.icp_rel_rmse, tile=cfg.nn_tile,
+                               tile=cfg.nn_tile,
                                patience=cfg.icp_patience,
                                stall_rel=cfg.icp_stall_rel,
                                corr_cap=cfg.icp_corr_cap,

@@ -65,6 +65,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "file (machine-readable run trace)")
     p.add_argument("--max_samples", type=int, default=None,
                    help="process only the first N samples")
+    # distribution (framework extension; the reference is explicitly
+    # single-GPU, main.py:141-142): shard each sample's frame pairs over a
+    # (dp, cp) device mesh via parallel/shard.make_sharded_step — dp across
+    # frame pairs (hosts/DCN at scale), cp across cluster-pair buckets (ICI)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel width over frame pairs")
+    p.add_argument("--cp", type=int, default=1,
+                   help="cluster-pair parallel width inside the matcher")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (run one process "
+                        "per host under a launcher that sets the usual "
+                        "coordinator env vars)")
     # static-shape bucket overrides (framework-specific)
     p.add_argument("--max_points_scene", type=int, default=None)
     p.add_argument("--max_pairs", type=int, default=None)
@@ -101,9 +113,77 @@ def config_from_args(args) -> PipelineConfig:
     return cfg.replace(**over)
 
 
+def _run_pairs_sharded(engine, step, dp, cfg, data, pairs):
+    """All frame pairs of one sample through the (dp, cp)-sharded step.
+
+    Pads every pair's clouds to one shared bucket (the sharded batch is a
+    single static-shape array), rounds the batch up to a multiple of dp with
+    dummy pairs (empty masks -> identity transforms, flow ignored), and
+    returns (per-pair flows trimmed to their raw point counts, psum metric
+    sums). Distribution of the reference's single-GPU per-pair loop
+    (`main.py:184-285`) per SURVEY §2 "TPU-native equivalent".
+    """
+    import jax.numpy as jnp
+
+    ego_poses = data["ego_poses"]
+    ti = data["time_indice"]
+    n_pairs = len(pairs)
+    B = -(-n_pairs // dp) * dp
+    n_max = max(max(len(p["point_src"]), len(p["point_dst"])) for p in pairs)
+    bucket = 2048
+    while bucket < n_max:
+        bucket *= 2
+    bucket = min(bucket, cfg.max_points_scene)
+
+    ps = np.zeros((B, bucket, 3), np.float32)
+    vs = np.zeros((B, bucket), bool)
+    ls = np.full((B, bucket), -1, np.int32)
+    pd_ = np.zeros((B, bucket, 3), np.float32)
+    vd = np.zeros((B, bucket), bool)
+    ld = np.full((B, bucket), -1, np.int32)
+    gt = np.zeros((B, bucket, 3), np.float32)
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    tfs = np.ones((B,), np.float32)
+    for i, pair in enumerate(pairs):
+        j = i + 1
+        ps[i], vs[i], ls[i] = engine.pad_cloud(
+            pair["point_src"], pair["label_src"], bucket=bucket)
+        pd_[i], vd[i], ld[i] = engine.pad_cloud(
+            pair["point_dst"], pair["label_dst"], bucket=bucket)
+        gtj = data["scene_flow"][ti == j]
+        gt[i, : len(gtj)] = gtj
+        poses[i] = ego_poses[j].astype(np.float32)
+        tfs[i] = max(cfg.speed * j,
+                     float(np.linalg.norm(ego_poses[j][:3, 3]))) * 2.0
+
+    flow_b, _transforms, sums = step(
+        jnp.asarray(ps), jnp.asarray(vs), jnp.asarray(ls),
+        jnp.asarray(pd_), jnp.asarray(vd), jnp.asarray(ld),
+        jnp.asarray(gt), jnp.asarray(poses), jnp.asarray(tfs))
+    flow_b = np.asarray(flow_b)
+    flows = [flow_b[i, : len(pairs[i]["point_src"])] for i in range(n_pairs)]
+    return flows, np.asarray(sums)
+
+
 def run(args) -> dict:
     cfg = config_from_args(args)
     engine = SceneFlowEngine(cfg)
+
+    if getattr(args, "multihost", False):
+        # multi-host DCN entry: one process per host, coordinator from the
+        # launcher env (jax.distributed picks up the standard variables);
+        # the (dp, cp) mesh below then spans every host's devices
+        import jax
+        jax.distributed.initialize()
+    dp = getattr(args, "dp", 1) or 1
+    cp = getattr(args, "cp", 1) or 1
+    sharded_step = None
+    if dp * cp > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.shard import make_sharded_step
+        mesh = make_mesh(dp, cp)
+        sharded_step = make_sharded_step(mesh, cfg)
+        print(f"sharded step over mesh dp={dp} cp={cp}")
 
     if args.dataset in ("waymo", "nuscene"):
         from .data.pca import DatasetPCA
@@ -155,7 +235,15 @@ def run(args) -> dict:
         ti = data["time_indice"]
         flows = [np.zeros((int((ti == 0).sum()), 3), np.float32)]
 
-        for j, pair in enumerate(pairs, start=1):
+        if sharded_step is not None:
+            pair_flows, dev_sums = _run_pairs_sharded(
+                engine, sharded_step, dp, cfg, data, pairs)
+            flows.extend(pair_flows)
+            if args.if_verbose:
+                print(f"  device metric sums (psum over mesh): "
+                      f"n={dev_sums[0]:.0f} epe={dev_sums[1]/max(dev_sums[0],1):.5f}")
+        pair_iter = [] if sharded_step is not None else enumerate(pairs, 1)
+        for j, pair in pair_iter:
             # per-pair dynamic search radius, main.py:200
             tf = max(cfg.speed * j,
                      float(np.linalg.norm(ego_poses[j][:3, 3]))) * 2.0

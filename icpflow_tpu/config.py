@@ -86,19 +86,28 @@ class PipelineConfig:
     # long-gap rotating movers need the init to carry coarse yaw). (0.0,)
     # disables the sweep.
     hist_yaws: tuple = (0.0, -0.3, -0.15, 0.15, 0.3)
+    # two-phase hypothesis scoring (ops/hist.py _select_hypothesis): all
+    # hypotheses coarse-ranked on a hist_coarse_cap-query subset, top
+    # hist_refine re-scored at the full 1024-query budget. The scoring
+    # sweeps are the init's dominant device cost (36 of 40 ms at the large
+    # demo bucket); ranking candidates >= one bin apart survives the
+    # coarser mean, and near-ties are re-decided at full budget. 0 = single
+    # full-budget phase (the pre-round-3 behavior).
+    hist_coarse_cap: int = 256
+    hist_refine: int = 2
 
     # --- icp (main.py:94-98) ---
     thres_dist: float = 0.1
     max_points: int = 10000
     icp_max_iters: int = 100
-    icp_rel_rmse: float = 1e-6
-    # consecutive iterations without a >rel_rmse improvement of a pair's best
-    # rmse before that pair freezes at its best pose (ops/icp.py latch; the
-    # reference instead runs the whole bucket until all pairs clear rel_rmse
-    # simultaneously, utils_icp_pytorch3d.py:209-211)
+    # consecutive iterations without a >icp_stall_rel improvement of a pair's
+    # best rmse before that pair freezes at its best pose (ops/icp.py latch;
+    # the reference instead runs the whole bucket until all pairs clear its
+    # rel_rmse=1e-6 rule simultaneously, utils_icp_pytorch3d.py:209-211 —
+    # the latch subsumes that knob, so there is no icp_rel_rmse here)
     icp_patience: int = 10
     # relative best-rmse improvement below which an iteration counts as stale
-    # for the latch. Looser than icp_rel_rmse on purpose: at rmse ~5 cm a
+    # for the latch. Looser than the reference's 1e-6 on purpose: at rmse ~5 cm a
     # 1e-6-relative "improvement" is sub-micron per iteration — noise, not
     # progress worth burning an NN sweep on (demo sweep: 1e-6..1e-3 all safe,
     # 1e-3 slightly better on dynamic EPE)
@@ -169,6 +178,13 @@ class PipelineConfig:
     max_points_small: int = 512
     pairs_small: int = 256
     pairs_large: int = 32
+    # pair-bucket size ladder (match/matcher.py _solve_bucket_laddered):
+    # each stage bucket solves at the smallest of {bucket//d for d in ladder}
+    # that holds its valid pairs, picked by a runtime lax.switch — XLA runs
+    # only the taken branch, so a 28-pair frame does not pay for 256 slots
+    # and an EMPTY stage-2 bucket costs nothing. Results are bit-identical
+    # (row-independent kernels; pure scheduling). (1,) disables.
+    pair_ladder: tuple = (1, 4, 16)
     nn_tile: int = 2048              # dst tile for the scan-based NN
     cluster_cell_cap: int = 64       # max points per voxel cell in DBSCAN
     cluster_max_iters: int = 100     # label-propagation iteration cap

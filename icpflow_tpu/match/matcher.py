@@ -70,11 +70,12 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
         a_xyz, a_mask, b_xyz, b_mask, translation_frame,
         bin_w=cfg.hist_bin, lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
         topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
-        eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws)
+        eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws,
+        coarse_cap=cfg.hist_coarse_cap, refine=cfg.hist_refine)
     T = _icp.apply_icp(
         a_xyz, a_mask, b_xyz, b_mask, init,
         thres=cfg.thres_dist, max_iters=cfg.icp_max_iters,
-        rel_rmse=cfg.icp_rel_rmse, tile=cfg.nn_tile,
+        tile=cfg.nn_tile,
         patience=cfg.icp_patience, stall_rel=cfg.icp_stall_rel,
         corr_cap=cfg.icp_corr_cap, shrink=cfg.icp_shrink,
         init_margin=cfg.icp_init_margin,
@@ -205,6 +206,62 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
     return T, stats, accept & pair_valid, id_pt
 
 
+def _solve_bucket_laddered(seg_src: SegmentBatch, seg_dst: SegmentBatch,
+                           pair_src, pair_dst, pair_valid,
+                           translation_frame, cfg: PipelineConfig,
+                           n_points: int):
+    """``_solve_bucket`` in the smallest ladder bucket that holds the valid
+    pairs (runtime ``lax.switch`` over compile-time sizes).
+
+    The (K,) bucket is padded worst-case; at demo scale it runs <15%
+    occupied and a whole stage-2 bucket is often EMPTY, yet every kernel's
+    cost is shape-driven. Valid pairs sit compacted at the FRONT of the
+    bucket (the caller's argsort), so solving the first ``s >= n_valid``
+    rows is exhaustive, and because every solve kernel (hist grids, Pallas
+    NN, Jacobi Kabsch, per-pair ICP latch) treats batch rows independently,
+    the result is bit-identical to solving the full bucket — the switch is
+    pure scheduling. XLA executes only the taken conditional branch on TPU,
+    so cost follows the ACTUAL pair count in factor-of-``cfg.pair_ladder``
+    steps, and an empty bucket costs nothing.
+    """
+    K = pair_src.shape[0]
+    sizes = sorted({max(1, K // d) for d in cfg.pair_ladder} | {K})
+    f32 = seg_src.xyz.dtype
+    # _solve_bucket slices seg.xyz[:, :n_points]; a request beyond the
+    # segment width yields the width, so the pad shapes must match that
+    n_points = min(n_points, seg_src.xyz.shape[1])
+    eyeT = jnp.broadcast_to(jnp.eye(4, dtype=f32), (K, 4, 4))
+
+    def empty_fn(_):
+        return (eyeT, jnp.zeros((K, 8), f32), jnp.zeros((K,), bool),
+                jnp.zeros((K, n_points), bool))
+
+    def solve_at(s):
+        def f(_):
+            T, st, acc, idp = _solve_bucket(
+                seg_src, seg_dst, pair_src[:s], pair_dst[:s], pair_valid[:s],
+                translation_frame, cfg, n_points)
+            if s == K:
+                return T, st, acc, idp
+            return (jnp.concatenate([T, eyeT[s:]], 0),
+                    jnp.concatenate([st, jnp.zeros((K - s, 8), f32)], 0),
+                    jnp.concatenate([acc, jnp.zeros((K - s,), bool)], 0),
+                    jnp.concatenate(
+                        [idp, jnp.zeros((K - s, n_points), bool)], 0))
+        return f
+
+    if sizes == [K]:   # ladder (1,): disabled, no conditional
+        return _solve_bucket(seg_src, seg_dst, pair_src, pair_dst, pair_valid,
+                             translation_frame, cfg, n_points)
+    nv = jnp.sum(pair_valid.astype(jnp.int32))
+    # branch 0: empty; branch i: sizes[i-1] (smallest size >= nv)
+    idx = jnp.where(
+        nv == 0, 0,
+        1 + jnp.searchsorted(jnp.asarray(sizes, jnp.int32), nv, side="left"))
+    return jax.lax.switch(idx, [empty_fn] + [solve_at(s) for s in sizes],
+                          operand=None)
+
+
 def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
                pair_src, pair_dst, pair_valid,
                translation_frame, cfg: PipelineConfig):
@@ -215,8 +272,10 @@ def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
     real size, so a pair whose clusters are both small carries all of its
     points in the front slice) and a narrow "large" bucket at full
     ``max_points``. Removes the padding FLOPs the reference pays by running
-    every pair at max_points (`utils_match.py:81-91`). Results are scattered
-    back to the (K,) frame; pairs beyond the buckets are dropped and counted.
+    every pair at max_points (`utils_match.py:81-91`). Each bucket then
+    solves at the smallest ladder size that holds its valid pairs
+    (``_solve_bucket_laddered``). Results are scattered back to the (K,)
+    frame; pairs beyond the buckets are dropped and counted.
     """
     K = pair_src.shape[0]
     ps = cfg.max_points_small
@@ -235,10 +294,10 @@ def _run_stage(seg_src: SegmentBatch, seg_dst: SegmentBatch,
                - jnp.sum(vs_.astype(jnp.int32))
                - jnp.sum(vl_.astype(jnp.int32)))
 
-    Ts, stats_s, acc_s, idp_s = _solve_bucket(
+    Ts, stats_s, acc_s, idp_s = _solve_bucket_laddered(
         seg_src, seg_dst, pair_src[os_], pair_dst[os_], vs_,
         translation_frame, cfg, ps)
-    Tl, stats_l, acc_l, idp_l = _solve_bucket(
+    Tl, stats_l, acc_l, idp_l = _solve_bucket_laddered(
         seg_src, seg_dst, pair_src[ol_], pair_dst[ol_], vl_,
         translation_frame, cfg, cfg.max_points)
 

@@ -41,7 +41,7 @@ class _IcpState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
+    static_argnames=("thres", "max_iters", "tile", "patience",
                      "stall_rel", "corr_cap", "shrink"))
 def icp_core(
     src: jnp.ndarray,
@@ -51,7 +51,6 @@ def icp_core(
     *,
     thres: float = 0.1,
     max_iters: int = 100,
-    rel_rmse: float = 1e-6,
     tile: int = 1024,
     patience: int = 5,
     stall_rel: float = 1e-4,
@@ -104,7 +103,7 @@ def icp_core(
         rmse = jnp.sqrt(jnp.sum(sq * w, 1) / jnp.maximum(jnp.sum(w, 1), 1e-9))
         # Per-pair early-exit latch with patience, returning the best
         # visited pose. The reference's batched loop runs until EVERY pair
-        # clears rel_rmse in the SAME iteration
+        # clears its rel-RMSE rule in the SAME iteration
         # (utils_icp_pytorch3d.py:209-211), so one oscillating pair drives
         # the whole bucket to max_iters (measured on the demo buckets:
         # median pair converges by iteration ~15, loop runs all 100). Two
@@ -166,6 +165,12 @@ def icp_core(
     # compact the survivors (and their point rows) into a cap2-sized bucket.
     # Fill rows (fewer than cap2 survivors) enter frozen with empty masks,
     # so they never update and are dropped by the scatter below.
+    # Invariant: if phase 1 exits at it == max_iters with MORE than cap2
+    # unfrozen pairs, nonzero(size=cap2) truncates the survivor list — safe
+    # only because phase 2 then iterates zero times (its condition requires
+    # it < max_iters) and the scatter rewrites s1's own latched values. Any
+    # change that lets phase 2 iterate past max_iters must compact the full
+    # survivor set instead.
     (sel,) = jnp.nonzero(~s1.frozen, size=cap2, fill_value=b)
     safe = jnp.minimum(sel, b - 1)
     real = sel < b
@@ -188,7 +193,7 @@ def icp_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("thres", "max_iters", "rel_rmse", "tile", "patience",
+    static_argnames=("thres", "max_iters", "tile", "patience",
                      "stall_rel", "corr_cap", "shrink"))
 def apply_icp(
     src: jnp.ndarray,
@@ -199,7 +204,6 @@ def apply_icp(
     *,
     thres: float = 0.1,
     max_iters: int = 100,
-    rel_rmse: float = 1e-6,
     tile: int = 1024,
     patience: int = 5,
     stall_rel: float = 1e-4,
@@ -230,7 +234,7 @@ def apply_icp(
     src_init = geo.transform_points_batch(src, init_poses)
     rts = icp_core(src_init, src_mask, dst, dst_mask,
                    thres=thres, max_iters=max_iters,
-                   rel_rmse=rel_rmse, tile=tile, patience=patience,
+                   tile=tile, patience=patience,
                    stall_rel=stall_rel, corr_cap=corr_cap, shrink=shrink)
     rts = geo.compose(rts, init_poses)
 

@@ -57,12 +57,19 @@ def run_scaling(widths, cfg=None, batch_per_device: int = 1,
         src = mk(0)
         dst = mk(1)
         gt = jnp.zeros((B, n, 3), jnp.float32)
-        out = step(*src, *dst, gt, jnp.float32(4.0))
-        jax.block_until_ready(out)
+        poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+        tfs = jnp.full((B,), 4.0, jnp.float32)
+        # chained + value-fetch timing (see bench.py TIMING METHODOLOGY):
+        # the runtime defers queued executions, so each iteration folds the
+        # previous output into its input and the loop closes with a fetch
+        out = step(*src, *dst, gt, poses, tfs)
+        _ = float(jnp.sum(out[2]))
+        pts = src[0]
         t0 = time.time()
         for _ in range(iters):
-            out = step(*src, *dst, gt, jnp.float32(4.0))
-        jax.block_until_ready(out)
+            out = step(pts, *src[1:], *dst, gt, poses, tfs)
+            pts = pts + 1e-30 * out[0]
+        _ = float(jnp.sum(out[2]))
         dt = (time.time() - t0) / iters
         pps = B / dt
         results.append({"dp": w, "pairs_per_sec": pps})

@@ -108,7 +108,7 @@ def main():
         it, conv = jax.jit(icp_iters, static_argnames=(
             "thres", "max_iters", "rel_rmse", "tile"))(
             s_init, s_m, d_xyz, d_m, thres=cfg.thres_dist,
-            max_iters=cfg.icp_max_iters, rel_rmse=cfg.icp_rel_rmse,
+            max_iters=cfg.icp_max_iters, rel_rmse=1e-6,
             tile=cfg.nn_tile)
         it = int(it)
         conv = np.asarray(conv)

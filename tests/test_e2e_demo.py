@@ -19,8 +19,8 @@ from icpflow_tpu.metrics import compute_epe
 
 DEMO_PATH = "/root/reference/demo.npz"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(DEMO_PATH), reason="demo fixture not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.exists(DEMO_PATH), reason="demo fixture not available")]
 
 
 @pytest.fixture(scope="module")

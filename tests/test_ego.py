@@ -65,6 +65,7 @@ def _se3(yaw, t):
     return T
 
 
+@pytest.mark.slow
 def test_odometry_recovers_turning_motion():
     """Rotation + translation (a turning vehicle): the Kabsch-based
     registration must recover yaw, and the adaptive threshold path runs
@@ -95,6 +96,7 @@ def test_odometry_recovers_turning_motion():
         assert yaw_err < 0.02, (k, yaw_err)
 
 
+@pytest.mark.slow
 def test_map_range_pruning_bounds_memory():
     """Long-sequence map eviction: points far behind the sensor are pruned
     (kiss-icp RemovePointsFarFromLocation), so the map never silently

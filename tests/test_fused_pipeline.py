@@ -7,6 +7,7 @@ order — only the program boundary moves).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from icpflow_tpu import SceneFlowEngine, DEMO
@@ -25,6 +26,7 @@ def _toy_pair(seed=0, n=1500):
     return src, dst
 
 
+@pytest.mark.slow
 def test_fused_equals_staged():
     cfg = DEMO.replace(max_points_scene=2048, max_points=512,
                        num_clusters=32, max_pairs=64, min_cluster_size=8,

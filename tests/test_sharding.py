@@ -62,13 +62,16 @@ def test_sharded_step_matches_single_device(n_dp, n_cp):
     batch = make_batch(n_dp, seed=42)
     mesh = make_mesh(n_dp, n_cp)
     step = make_sharded_step(mesh, CFG)
-    flow, transforms, sums = step(*batch, jnp.float32(4.0))
+    poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_dp, 4, 4))
+    tfs = jnp.full((n_dp,), 4.0, jnp.float32)
+    flow, transforms, sums = step(*batch, poses, tfs)
     flow = np.asarray(flow)
 
     # single-device reference: run each frame pair alone
     for i in range(n_dp):
         one = [a[i] for a in batch]
-        f1, t1, s1 = _frame_pair_step(*one, jnp.float32(4.0), CFG, None, 1)
+        f1, t1, s1 = _frame_pair_step(*one, poses[i], jnp.float32(4.0),
+                                      CFG, None, 1)
         np.testing.assert_allclose(flow[i], np.asarray(f1),
                                    rtol=1e-4, atol=1e-4)
 
@@ -85,7 +88,9 @@ def test_sharded_step_recovers_motion():
     batch = make_batch(4, seed=7)
     mesh = make_mesh(4, 2)
     step = make_sharded_step(mesh, CFG)
-    flow, transforms, sums = step(*batch, jnp.float32(4.0))
+    poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (4, 4, 4))
+    flow, transforms, sums = step(*batch, poses,
+                                  jnp.full((4,), 4.0, jnp.float32))
     flow = np.asarray(flow)
     gt = np.asarray(batch[6])
     err = np.linalg.norm(flow - gt, axis=-1)
@@ -93,6 +98,7 @@ def test_sharded_step_recovers_motion():
     assert err[valid].mean() < 0.1
 
 
+@pytest.mark.slow
 def test_sharded_step_realistic_buckets():
     """Sharded equality at realistic bucket geometry (8k-point scenes,
     1k-point segments, both pair buckets exercised) — the toy-scale tests
@@ -139,11 +145,14 @@ def test_sharded_step_realistic_buckets():
              jnp.asarray(gt))
     mesh = make_mesh(2, 2)
     step = make_sharded_step(mesh, cfg)
-    flow, transforms, sums = step(*batch, jnp.float32(6.0))
+    poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    flow, transforms, sums = step(*batch, poses,
+                                  jnp.full((b,), 6.0, jnp.float32))
     flow = np.asarray(flow)
     for i in range(b):
         one = [a[i] for a in batch]
-        f1, _, _ = _frame_pair_step(*one, jnp.float32(6.0), cfg, None, 1)
+        f1, _, _ = _frame_pair_step(*one, poses[i], jnp.float32(6.0),
+                                    cfg, None, 1)
         np.testing.assert_allclose(flow[i], np.asarray(f1),
                                    rtol=1e-4, atol=1e-4)
     err = np.linalg.norm(flow - np.asarray(batch[6]), axis=-1)

@@ -26,6 +26,7 @@ def make_world(rng):
     return ground, wall, car
 
 
+@pytest.mark.slow
 def test_streaming_flow_and_ego():
     rng = np.random.default_rng(0)
     ground, wall, car = make_world(rng)
