@@ -47,11 +47,14 @@ Extra diagnostics in the line:
     micro-benches (`kern_*_ms`) for the histogram init, batched ICP, and the
     NN kernel variants at the exact bucket shapes the matcher runs
     (256 pairs x 512 pts small bucket, 32 x 4096 large bucket).
-  * `kern_nn_large_tflops` / `mfu_nn_kernel`: achieved FLOP rate of the
-    dominant inner kernel (masked NN at the large bucket) vs the 197 TFLOP/s
-    bf16 peak. A whole-pipeline MFU is NOT reported: XLA cost analysis
-    counts each `while_loop` body once and cannot see data-dependent trip
-    counts, so any "pipeline FLOPs" number derived from it would be fiction.
+  * `nn_bound_ms` / `nn_util_vs_bound`: the dominant inner kernel (masked
+    NN at the large bucket) against its ROOFLINE — the VPU issue-rate bound
+    (~13 vector ops/candidate at 3.85e12 ops/s; derivation at the
+    computation site below). A K=3 distance sweep is neither MXU- nor
+    HBM-bound, so "MFU vs matmul peak" is not reported; nor is a
+    whole-pipeline MFU (XLA cost analysis counts each `while_loop` body
+    once and cannot see data-dependent trip counts — any such number would
+    be fiction).
   * held-out accuracy (`heldout_*`): multi-frame synthetic lidar scenes
     (data/synthetic.py; rotating + translating movers, waymo-like gaps 1-4
     and nuScenes-like gaps 1-10) evaluated through the same DatasetPCA path
@@ -394,11 +397,25 @@ def main():
         nn_ms[variant] = chain_time(nn_step, a, lambda o: jnp.sum(o[0]),
                                     32, barrier)
 
-    # achieved FLOP rate of the dominant inner kernel (see docstring: a
-    # whole-pipeline MFU from XLA cost analysis would be fiction)
+    # ---- NN-kernel roofline (the dominant inner op) -----------------------
+    # A masked K=3 distance sweep cannot be MXU-efficient (the contraction
+    # axis pads 3 -> 128, wasting 125/128 of the systolic array) and is not
+    # HBM-bound either (inputs are (N+M)*3 floats per batch row, resident in
+    # VMEM; ~1.5 MB moved vs ~0.5 G distance candidates computed). The
+    # attainable bound is VPU ISSUE RATE. Per candidate, the elementwise
+    # variant issues ~13 vector ops: 8 for d^2 (3 sub + 3 mul + 2 add),
+    # 1 mask select, ~1 amortised min-reduce, ~3 argmin (iota compare +
+    # select + min). v5e VPU: 4 ALUs x (8x128) lanes x 0.94 GHz ~= 3.85e12
+    # ops/s. Reported utilization is bound_time / measured_time of the best
+    # variant — "mfu" vs the 197 TFLOP/s matmul peak is meaningless for a
+    # VPU-bound op and is not reported.
+    NN_OPS_PER_ELEM = 13.0
+    VPU_OPS_PER_SEC = 4 * 8 * 128 * 0.94e9
+    nn_elems = float(b) * n * n
+    nn_bound_s = nn_elems * NN_OPS_PER_ELEM / VPU_OPS_PER_SEC
+    nn_util_vs_bound = nn_bound_s / min(nn_ms.values())
     nn_flops = 2.0 * b * n * n * 3
     nn_tflops = nn_flops / min(nn_ms.values()) / 1e12
-    mfu_nn = nn_flops / min(nn_ms.values()) / PEAK_BF16_FLOPS
 
     # ---- accuracy on the demo fixture ------------------------------------
     t0 = time.time()
@@ -456,7 +473,8 @@ def main():
         "kern_nn_vpu_ms": round(nn_ms["vpu"] * 1e3, 3),
         "kern_nn_mxu_ms": round(nn_ms["mxu"] * 1e3, 3),
         "kern_nn_large_tflops": round(nn_tflops, 2),
-        "mfu_nn_kernel": round(mfu_nn, 4),
+        "nn_bound_ms": round(nn_bound_s * 1e3, 3),
+        "nn_util_vs_bound": round(nn_util_vs_bound, 3),
         "pallas_xla_max_err": round(pallas_err, 6),
         "compile_s": round(compile_and_first, 1),
         "host_io_s": round(host_io_in + host_io_out, 2),

@@ -17,8 +17,13 @@ Layout notes:
    metre-scale coordinates with a 0.1 m inlier gate do not survive one-pass
    bf16.
 
-HBM traffic drops from O(N*M) to O(N + M) per batch row — the speed-of-light
-regime for this op.
+HBM traffic drops from O(N*M) to O(N + M) per batch row, which moves the op
+off the bandwidth wall; the remaining bound is VPU ISSUE RATE (~13 vector
+ops per distance candidate — bench.py derives the roofline and reports
+measured utilization against it; 0.5-0.8 of bound across round-3 runs, the
+spread being tunnel timing variance, not kernel variance). A K=3
+contraction can never be MXU-efficient (3 of 128 systolic rows used), so
+matmul-peak "MFU" is not a meaningful metric for this kernel.
 """
 
 from __future__ import annotations

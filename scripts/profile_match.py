@@ -58,7 +58,8 @@ large = valid1 & ~small
 
 HIST_KW = dict(bin_w=cfg.hist_bin, lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
                topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
-               eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws)
+               eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws,
+               coarse_cap=cfg.hist_coarse_cap, refine=cfg.hist_refine)
 ICP_KW = dict(thres=cfg.thres_dist, max_iters=cfg.icp_max_iters,
               tile=cfg.nn_tile, patience=cfg.icp_patience,
               stall_rel=cfg.icp_stall_rel, corr_cap=cfg.icp_corr_cap,
