@@ -124,6 +124,15 @@ class PipelineConfig:
     # are not wrongly rolled back (an absolute 5 mm margin was).
     icp_init_margin: float = 0.0
     icp_init_margin_rel: float = 0.02
+    # fixed-correspondence inner solves per NN sweep (ops/icp.py icp_core):
+    # after each sweep's Kabsch solve, the correspondences are held fixed,
+    # re-gated by distance under the updated pose, and re-solved
+    # (icp_inner - 1) extra times. The sweep is the whole iteration cost;
+    # near convergence the pose moves far less than a correspondence
+    # changes, so each sweep advances like ~icp_inner reference iterations
+    # and the latch freezes pairs in proportionally fewer sweeps. 1 = the
+    # reference's one-solve-per-sweep loop.
+    icp_inner: int = 1
     # ICP tail compaction (ops/icp.py icp_core): once at most B//shrink
     # pairs remain unfrozen, they compact into a bucket shrink-x smaller and
     # the convergence tail runs there at 1/shrink the sweep cost. Every body
@@ -195,6 +204,10 @@ class PipelineConfig:
     ego_max_range: float = 64.0
     ego_min_range: float = 1.0
     ego_map_capacity: int = 262144
+    # static bucket for the registration source (the 1.5x-voxel downsample
+    # is a few thousand points; overflow truncates and is harmless — the
+    # solve is a weighted mean over thousands of correspondences)
+    ego_src_capacity: int = 16384
     ego_initial_threshold: float = 2.0
     ego_min_motion_th: float = 0.1
 

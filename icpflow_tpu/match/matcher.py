@@ -78,6 +78,7 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
         tile=cfg.nn_tile,
         patience=cfg.icp_patience, stall_rel=cfg.icp_stall_rel,
         corr_cap=cfg.icp_corr_cap, shrink=cfg.icp_shrink,
+        inner=cfg.icp_inner,
         init_margin=cfg.icp_init_margin,
         init_margin_rel=cfg.icp_init_margin_rel)
     return jnp.where(swap, geo.invert_rigid(T), T)

@@ -153,13 +153,28 @@ class EgoOdometry:
         keep_src = np.asarray(voxel_downsample_mask(
             jbuf, jnp.asarray(keep_map), voxel=cfg.ego_voxel_size * 1.5))
 
+        # registration source: the 1.5x-voxel downsample COMPACTED into its
+        # own small bucket. Registering through the full frame bucket with a
+        # keep mask pays the N x M NN sweep at the padded frame size
+        # (131k x 262k x iters in one XLA execution — long enough that the
+        # tunnel runtime's watchdog kills the worker); the downsampled cloud
+        # is a few thousand points (kiss-icp registers exactly this cloud,
+        # utils_ego_motion.py:62,76-82).
+        src_pts = buf[keep_src]
+        scap = int(cfg.ego_src_capacity)
+        sbuf = np.zeros((scap, 3), np.float32)
+        ns = min(len(src_pts), scap)
+        sbuf[:ns] = src_pts[:ns]
+        svalid = np.zeros((scap,), bool)
+        svalid[:ns] = True
+
         if not self.poses:
             pose = np.eye(4, dtype=np.float32)
         else:
             sigma = self._sigma()
             initial = (self.poses[-1] @ self._prediction()).astype(np.float32)
             pose = np.asarray(register_frame_icp(
-                jbuf, jnp.asarray(keep_src),
+                jnp.asarray(sbuf), jnp.asarray(svalid),
                 jnp.asarray(self._map), jnp.asarray(self._map_valid),
                 jnp.asarray(initial), jnp.float32(3.0 * sigma),
                 jnp.float32(sigma / 3.0)))

@@ -42,7 +42,7 @@ class _IcpState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "tile", "patience",
-                     "stall_rel", "corr_cap", "shrink"))
+                     "stall_rel", "corr_cap", "shrink", "inner"))
 def icp_core(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -56,6 +56,7 @@ def icp_core(
     stall_rel: float = 1e-4,
     corr_cap: int = 0,
     shrink: int = 0,
+    inner: int = 1,
 ) -> jnp.ndarray:
     """Rigid ICP aligning ``src`` onto ``dst``. Returns (B,4,4).
 
@@ -68,6 +69,19 @@ def icp_core(
     from k strided correspondences matches the full-set pose to O(1/sqrt(k))
     (the NN sweep is the entire iteration cost and scales with the query
     count); the dst side and every downstream evaluation stay complete.
+
+    ``inner`` > 1 reuses each NN sweep for that many Kabsch solves: after
+    the sweep's solve, the correspondences are held FIXED and re-gated by
+    the distance of the updated pose's points to their fixed partners, and
+    the solve repeats (``inner - 1`` extra times). The sweep is the entire
+    iteration cost (the extra solves are a handful of (B,n,3) elementwise
+    ops + a 3x3 Jacobi), while near convergence the pose moves far less
+    than a correspondence changes — so each sweep advances the pose as far
+    as ~``inner`` reference iterations. This is the classic fixed-
+    correspondence inner relaxation; the per-pair latch still counts SWEEPS
+    (its patience semantics are unchanged) and the rmse it tracks is the
+    post-inner-solve inlier rmse against the fixed partners — the same
+    quantity the single-solve loop tracked, one inner step later.
 
     ``shrink`` > 1 enables tail compaction: every iteration pays for the
     WHOLE bucket, but the per-pair latch freezes the median pair by ~15
@@ -96,7 +110,18 @@ def icp_core(
         # src point, more than the sweep itself at the small bucket
         nn_pts, dist = _knn.masked_nn_points(moved, dst, dst_mask, tile=tile)
         inlier = (dist <= thres) & src_mask
+        # a finite sweep distance marks a REAL correspondence (dist ~1e15 and
+        # nn_pts == 0 where no dst is valid) — the inner re-gate below must
+        # not let a point near the origin "match" such a zero partner
+        has_nn = (dist < 1e9) & src_mask
         R, t = geo.kabsch(src, nn_pts, inlier)
+        for _ in range(inner - 1):
+            # fixed-correspondence refinement: re-gate inliers by distance
+            # to the SAME nn partners under the new pose, re-solve. No sweep.
+            moved_i = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
+            d_i = jnp.sqrt(jnp.sum((moved_i - nn_pts) ** 2, axis=-1))
+            inlier = (d_i <= thres) & has_nn
+            R, t = geo.kabsch(src, nn_pts, inlier)
         moved2 = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
         sq = jnp.sum((moved2 - nn_pts) ** 2, axis=-1)
         w = inlier.astype(f32)
@@ -194,7 +219,7 @@ def icp_core(
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "tile", "patience",
-                     "stall_rel", "corr_cap", "shrink"))
+                     "stall_rel", "corr_cap", "shrink", "inner"))
 def apply_icp(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -209,6 +234,7 @@ def apply_icp(
     stall_rel: float = 1e-4,
     corr_cap: int = 0,
     shrink: int = 0,
+    inner: int = 1,
     init_margin: float = 0.0,
     init_margin_rel: float = 0.0,
 ) -> jnp.ndarray:
@@ -235,7 +261,8 @@ def apply_icp(
     rts = icp_core(src_init, src_mask, dst, dst_mask,
                    thres=thres, max_iters=max_iters,
                    tile=tile, patience=patience,
-                   stall_rel=stall_rel, corr_cap=corr_cap, shrink=shrink)
+                   stall_rel=stall_rel, corr_cap=corr_cap, shrink=shrink,
+                   inner=inner)
     rts = geo.compose(rts, init_poses)
 
     err_init = _knn.masked_nn_error(src_init, src_mask, dst, dst_mask,

@@ -15,6 +15,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# No persistent compilation cache under pytest: serializing the matcher's
+# multi-hundred-MB CPU executables (put_executable_and_time -> zstd) has
+# segfaulted late in the suite when the process is already holding every
+# previously jitted program; CPU compiles are fast enough that the disk
+# cache buys nothing here anyway.
+jax.config.update("jax_enable_compilation_cache", False)
+
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()} ({len(jax.devices())} devices)"
