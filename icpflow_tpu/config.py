@@ -95,6 +95,17 @@ class PipelineConfig:
     # full-budget phase (the pre-round-3 behavior).
     hist_coarse_cap: int = 256
     hist_refine: int = 2
+    # gap-scaled yaw window (ops/hist.py): a turning vehicle's accumulated
+    # yaw grows with distance travelled, so the fixed hist_yaws run out of
+    # range at long gaps (held-out trace: a 0.05 rad/frame mover exceeds the
+    # 0.3 rad sweep at gap >= 9 and latches a body-slid pose). The yaw
+    # values stretch by clip(hist_yaw_per_m * translation_frame / max_yaw,
+    # 1, hist_yaw_scale_cap) — hypothesis count (and cost) unchanged, only
+    # spacing coarsens; at small gaps the factor clips to 1 (legacy values).
+    # The constant is curvature x (translation_frame = 2 x distance):
+    # 0.03/m ~= 0.06 1/m urban curvature. 0 disables.
+    hist_yaw_per_m: float = 0.03
+    hist_yaw_scale_cap: float = 2.0
 
     # --- icp (main.py:94-98) ---
     thres_dist: float = 0.1
@@ -133,6 +144,21 @@ class PipelineConfig:
     # and the latch freezes pairs in proportionally fewer sweeps. 1 = the
     # reference's one-solve-per-sweep loop.
     icp_inner: int = 1
+    # coarse-to-fine ICP (ops/icp.py icp_core): the first icp_coarse_iters
+    # sweeps gate correspondences at thres_dist * icp_coarse_scale. A
+    # histogram init can land a few tenths of a metre off (cluster-
+    # membership bias in the centroid hypothesis; face-aligned vote peaks);
+    # at the strict radius every true correspondence is gated out and ICP
+    # stalls on accidental ones (the long-gap cliff, docs/ROUND3_NOTES.md).
+    # The latch/best-pose bookkeeping only starts in the fine phase. 0
+    # disables (exact reference single-radius behavior). The phase only
+    # activates for pairs whose translation_frame >= icp_coarse_min_tf:
+    # init uncertainty grows with the search window, and small-gap pairs
+    # keep the exact single-radius trajectory the accuracy guardrails are
+    # pinned on (the traced gate adds no compile variants).
+    icp_coarse_iters: int = 6
+    icp_coarse_scale: float = 3.0
+    icp_coarse_min_tf: float = 10.0
     # ICP tail compaction (ops/icp.py icp_core): once at most B//shrink
     # pairs remain unfrozen, they compact into a bucket shrink-x smaller and
     # the convergence tail runs there at 1/shrink the sweep cost. Every body

@@ -71,14 +71,21 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
         bin_w=cfg.hist_bin, lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
         topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
         eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws,
-        coarse_cap=cfg.hist_coarse_cap, refine=cfg.hist_refine)
+        coarse_cap=cfg.hist_coarse_cap, refine=cfg.hist_refine,
+        yaw_per_m=cfg.hist_yaw_per_m, yaw_scale_cap=cfg.hist_yaw_scale_cap)
+    # coarse phase only when the search window (== init uncertainty) is
+    # large: small-gap pairs keep the exact single-radius trajectory
+    coarse_on = jnp.asarray(translation_frame, jnp.float32) \
+        >= cfg.icp_coarse_min_tf
     T = _icp.apply_icp(
-        a_xyz, a_mask, b_xyz, b_mask, init,
+        a_xyz, a_mask, b_xyz, b_mask, init, coarse_on,
         thres=cfg.thres_dist, max_iters=cfg.icp_max_iters,
         tile=cfg.nn_tile,
         patience=cfg.icp_patience, stall_rel=cfg.icp_stall_rel,
         corr_cap=cfg.icp_corr_cap, shrink=cfg.icp_shrink,
         inner=cfg.icp_inner,
+        coarse_iters=cfg.icp_coarse_iters,
+        coarse_scale=cfg.icp_coarse_scale,
         init_margin=cfg.icp_init_margin,
         init_margin_rel=cfg.icp_init_margin_rel)
     return jnp.where(swap, geo.invert_rigid(T), T)

@@ -126,7 +126,8 @@ def _select_hypothesis(moved_k, src_mask, dst, dst_mask, eval_tile,
 @functools.partial(
     jax.jit,
     static_argnames=("bin_w", "lxy", "lz", "topk", "nms_kernel", "eval_tile",
-                     "yaws", "coarse_cap", "refine"),
+                     "yaws", "coarse_cap", "refine", "yaw_per_m",
+                     "yaw_scale_cap"),
 )
 def estimate_init_translation(
     src: jnp.ndarray,
@@ -144,6 +145,8 @@ def estimate_init_translation(
     yaws: tuple = (0.0,),
     coarse_cap: int = 0,
     refine: int = 2,
+    yaw_per_m: float = 0.0,
+    yaw_scale_cap: float = 2.0,
 ) -> jnp.ndarray:
     """Best translation init per cluster pair. Returns (B, 4, 4).
 
@@ -262,17 +265,36 @@ def estimate_init_translation(
     # the object radius — at that offset the true yaw scores WORSE than a
     # half-way one. Centroid alignment has no such bias (both clouds cover
     # the same object), so (dc, true-yaw) wins sharply.
-    import math
+    #
+    # Gap scaling (yaw_per_m > 0): a turning vehicle's accumulated yaw grows
+    # with distance travelled (yaw = curvature x arclength), so a FIXED
+    # hypothesis set runs out of range at long temporal gaps (traced on the
+    # held-out nuscene-like scene: a 0.05 rad/frame mover exceeds the 0.3 rad
+    # sweep at gap >= 7 and the matcher latches a body-slid pose). The yaw
+    # VALUES stretch by clip(yaw_per_m * translation_frame / max_yaw, 1,
+    # yaw_scale_cap) — a traced factor, so the hypothesis count (and cost)
+    # stays constant; only spacing coarsens with gap, and ICP closes the
+    # residual. At small gaps the factor clips to 1: exact legacy hypotheses.
     dc_exact = c_dst - c_src
 
     import numpy as _np
+    if yaw_per_m > 0:
+        base_max = max(abs(y) for y in nonzero_yaws)
+        tfv = jnp.asarray(translation_frame, f32)
+        yscale = jnp.clip(yaw_per_m * tfv / base_max, 1.0, yaw_scale_cap)
+    else:
+        yscale = jnp.float32(1.0)
     cand_t = (t_best, dc_exact)
     # all (yaw, translation) hypotheses scored in one batched NN sweep per
     # direction (see _score_hypotheses)
     rot_all = []
-    for psi in nonzero_yaws:
-        c, s = math.cos(psi), math.sin(psi)
-        R = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], f32)
+    for psi0 in nonzero_yaws:
+        psi_t = jnp.float32(psi0) * yscale
+        c, s = jnp.cos(psi_t), jnp.sin(psi_t)
+        z0 = jnp.float32(0.0)
+        o1 = jnp.float32(1.0)
+        R = jnp.stack([jnp.stack([c, -s, z0]), jnp.stack([s, c, z0]),
+                       jnp.stack([z0, z0, o1])])
         rot = (jnp.einsum("bnj,ij->bni", src - c_src[:, None, :], R)
                + c_src[:, None, :])
         for trans in cand_t:
@@ -282,7 +304,7 @@ def estimate_init_translation(
         rot_all, src_mask, dst, dst_mask, eval_tile,
         coarse_cap=coarse_cap, refine=refine)                 # (B,) x2
     yaw_tbl = jnp.asarray(_np.repeat(
-        _np.array(nonzero_yaws, _np.float32), len(cand_t)))
+        _np.array(nonzero_yaws, _np.float32), len(cand_t))) * yscale
     psi = jnp.take(yaw_tbl, flat_best)
     t_stack = jnp.stack(cand_t, axis=0)                           # (2,B,3)
     t_yaw = jnp.take_along_axis(

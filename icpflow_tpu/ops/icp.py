@@ -42,12 +42,14 @@ class _IcpState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "tile", "patience",
-                     "stall_rel", "corr_cap", "shrink", "inner"))
+                     "stall_rel", "corr_cap", "shrink", "inner",
+                     "coarse_iters", "coarse_scale"))
 def icp_core(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
     dst: jnp.ndarray,
     dst_mask: jnp.ndarray,
+    coarse_on: jnp.ndarray | None = None,
     *,
     thres: float = 0.1,
     max_iters: int = 100,
@@ -57,6 +59,8 @@ def icp_core(
     corr_cap: int = 0,
     shrink: int = 0,
     inner: int = 1,
+    coarse_iters: int = 0,
+    coarse_scale: float = 3.0,
 ) -> jnp.ndarray:
     """Rigid ICP aligning ``src`` onto ``dst``. Returns (B,4,4).
 
@@ -82,6 +86,23 @@ def icp_core(
     (its patience semantics are unchanged) and the rmse it tracks is the
     post-inner-solve inlier rmse against the fixed partners — the same
     quantity the single-solve loop tracked, one inner step later.
+
+    ``coarse_iters`` > 0 runs the first that many sweeps with the inlier
+    gate widened to ``thres * coarse_scale`` (classic coarse-to-fine ICP).
+    ``coarse_on`` (traced bool scalar, default on) lets the caller enable
+    the phase per frame pair — the matcher ties it to the search window
+    (``translation_frame >= icp_coarse_min_tf``): init uncertainty grows
+    with the window, and small-gap pairs keep the exact single-radius
+    trajectory the accuracy guardrails are pinned on.
+    A histogram init can land a fraction of a metre off the true pose
+    (cluster-membership bias shifts the centroid-difference hypothesis, and
+    the voted peak aligns a dominant face) — at the strict ``thres`` every
+    true correspondence is then gated out and the solve latches on accidental
+    ones (traced on the held-out long-gap movers: init NN err 0.08 vs 0.03
+    at the GT pose, ICP unable to improve). The wide phase pulls the bulk
+    offset in; the latch, best-pose selection, and stall counting only
+    activate in the fine phase, so converged-pair results are unchanged
+    when the coarse phase lands where the fine phase would have anyway.
 
     ``shrink`` > 1 enables tail compaction: every iteration pays for the
     WHOLE bucket, but the per-pair latch freezes the median pair by ~15
@@ -109,7 +130,18 @@ def icp_core(
         # kernel directly — a take_along_axis here costs ~1 row-gather per
         # src point, more than the sweep itself at the small bucket
         nn_pts, dist = _knn.masked_nn_points(moved, dst, dst_mask, tile=tile)
-        inlier = (dist <= thres) & src_mask
+        # coarse-to-fine: the first eff sweeps gate at a widened radius;
+        # fine == this iteration uses the strict thres (and only fine
+        # iterations feed the latch / best-pose bookkeeping below)
+        if coarse_iters:
+            on = jnp.bool_(True) if coarse_on is None else coarse_on
+            eff = jnp.where(on, jnp.int32(coarse_iters), jnp.int32(0))
+        else:
+            eff = 0
+        fine = s.it >= eff
+        thr = jnp.where(fine, thres, thres * coarse_scale) \
+            if coarse_iters else thres
+        inlier = (dist <= thr) & src_mask
         # a finite sweep distance marks a REAL correspondence (dist ~1e15 and
         # nn_pts == 0 where no dst is valid) — the inner re-gate below must
         # not let a point near the origin "match" such a zero partner
@@ -120,7 +152,7 @@ def icp_core(
             # to the SAME nn partners under the new pose, re-solve. No sweep.
             moved_i = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
             d_i = jnp.sqrt(jnp.sum((moved_i - nn_pts) ** 2, axis=-1))
-            inlier = (d_i <= thres) & has_nn
+            inlier = (d_i <= thr) & has_nn
             R, t = geo.kabsch(src, nn_pts, inlier)
         moved2 = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
         sq = jnp.sum((moved2 - nn_pts) ** 2, axis=-1)
@@ -146,12 +178,12 @@ def icp_core(
         #    visited phase. NN-proxy scores (rmse included) cannot see drift
         #    along self-similar geometry — that is what the margined
         #    rollback gate in apply_icp guards against.
-        first = s.it == 0
-        take = (first | (rmse < s.best_rmse)) & ~s.frozen
+        first = s.it == eff
+        take = (first | (rmse < s.best_rmse)) & ~s.frozen & fine
         tk3 = take[:, None, None]
         meaningful = first | ((s.best_rmse - rmse)
                               > stall_rel * jnp.maximum(s.best_rmse, 1e-20))
-        stale = jnp.where(s.frozen | meaningful, 0, s.stale + 1)
+        stale = jnp.where(s.frozen | meaningful | ~fine, 0, s.stale + 1)
         frozen = s.frozen | (stale >= patience)
         upd = ~s.frozen
         return _IcpState(
@@ -219,13 +251,15 @@ def icp_core(
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "tile", "patience",
-                     "stall_rel", "corr_cap", "shrink", "inner"))
+                     "stall_rel", "corr_cap", "shrink", "inner",
+                     "coarse_iters", "coarse_scale"))
 def apply_icp(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
     dst: jnp.ndarray,
     dst_mask: jnp.ndarray,
     init_poses: jnp.ndarray,
+    coarse_on: jnp.ndarray | None = None,
     *,
     thres: float = 0.1,
     max_iters: int = 100,
@@ -235,6 +269,8 @@ def apply_icp(
     corr_cap: int = 0,
     shrink: int = 0,
     inner: int = 1,
+    coarse_iters: int = 0,
+    coarse_scale: float = 3.0,
     init_margin: float = 0.0,
     init_margin_rel: float = 0.0,
 ) -> jnp.ndarray:
@@ -258,11 +294,12 @@ def apply_icp(
     synthetic movers).
     """
     src_init = geo.transform_points_batch(src, init_poses)
-    rts = icp_core(src_init, src_mask, dst, dst_mask,
+    rts = icp_core(src_init, src_mask, dst, dst_mask, coarse_on,
                    thres=thres, max_iters=max_iters,
                    tile=tile, patience=patience,
                    stall_rel=stall_rel, corr_cap=corr_cap, shrink=shrink,
-                   inner=inner)
+                   inner=inner, coarse_iters=coarse_iters,
+                   coarse_scale=coarse_scale)
     rts = geo.compose(rts, init_poses)
 
     err_init = _knn.masked_nn_error(src_init, src_mask, dst, dst_mask,

@@ -188,3 +188,43 @@ def test_icp_inner_no_valid_dst_stays_identity():
                             jnp.asarray(d), jnp.asarray(md),
                             thres=0.3, tile=64, inner=3, max_iters=8))[0]
     np.testing.assert_allclose(T, np.eye(4), atol=1e-6)
+
+
+def test_icp_coarse_off_is_bit_identical_to_disabled():
+    # coarse_iters > 0 with coarse_on=False must follow the exact
+    # single-radius trajectory of coarse_iters=0 (the traced gate is what
+    # keeps small-gap accuracy pinning intact).
+    rng = np.random.default_rng(7)
+    R = rot_z(4.0)
+    t = np.array([0.05, -0.04, 0.01], np.float32)
+    s, d, m = make_case(rng, 400, R, t, 512)
+    args = (jnp.asarray(s)[None], jnp.asarray(m)[None],
+            jnp.asarray(d)[None], jnp.asarray(m)[None])
+    T0 = np.asarray(icp_core(*args, thres=0.3, tile=128))
+    T_off = np.asarray(icp_core(*args, jnp.bool_(False), thres=0.3, tile=128,
+                                coarse_iters=6, coarse_scale=3.0))
+    np.testing.assert_array_equal(T0, T_off)
+
+
+def test_icp_coarse_recovers_offset_beyond_strict_gate():
+    # init lands ~3x the inlier radius off: the strict gate sheds every true
+    # correspondence and ICP stalls; the coarse phase must pull it in.
+    rng = np.random.default_rng(8)
+    src = rng.uniform(-2, 2, size=(600, 3)).astype(np.float32)
+    t_true = np.array([0.26, -0.19, 0.0], np.float32)
+    dst = src + t_true
+    p = 1024
+    s = np.zeros((p, 3), np.float32); s[:600] = src
+    d = np.zeros((p, 3), np.float32); d[:600] = dst
+    m = np.zeros((p,), bool); m[:600] = True
+    args = (jnp.asarray(s)[None], jnp.asarray(m)[None],
+            jnp.asarray(d)[None], jnp.asarray(m)[None])
+    thres = 0.1
+    T_plain = np.asarray(icp_core(*args, thres=thres, tile=256))[0]
+    T_coarse = np.asarray(icp_core(
+        *args, jnp.bool_(True), thres=thres, tile=256,
+        coarse_iters=6, coarse_scale=3.0))[0]
+    err_plain = np.linalg.norm(T_plain[:3, 3] - t_true)
+    err_coarse = np.linalg.norm(T_coarse[:3, 3] - t_true)
+    assert err_coarse < 0.02, err_coarse
+    assert err_coarse < err_plain  # plain ICP cannot close a 0.3 m offset
