@@ -7,6 +7,26 @@ resolution (63k valid points/frame, AV2). The reference requires a CUDA GPU
 for this (`README.md:56`); its shipped prediction for this exact sample
 (`demo.npz: est_flow`) scores EPE3D 0.0114 / dynamic 0.1248, the accuracy bar.
 
+WALL-CLOCK BUDGET (load-bearing — the round-3 bench timed out in the driver,
+rc=124, and a benchmark that cannot complete is a benchmark that does not
+exist):
+  The required headline (fused throughput + demo accuracy + the gap-4x
+  guardrail) runs FIRST; every subsequent section is optional, cost-estimated,
+  and skipped once the budget runs short (``BENCH_BUDGET_S`` env, default
+  1380 s — chosen to clear the driver's timeout with margin). Skipped
+  sections report -1 and are listed under "skipped"; their ACCURACY.json
+  entries are carried over from the previous run and marked as such. Three
+  structural changes keep the cold-cache wall down:
+    * the gap-4x stress reuses the ALREADY-COMPILED fused program (it is the
+      same (src, dst, tf) signature — no extra cluster/track/flow programs);
+    * stage timings dispatch the engine's own jitted ops plus a tiny chain
+      fold instead of wrapping them in bespoke jit closures, so the matcher
+      at demo scale compiles ONCE for stage timing, hdbscan-e2e, and any
+      engine call (PipelineConfig.device_canonical makes config variants
+      share it too);
+    * a 2-thread warm pool AOT-compiles upcoming sections' programs into the
+      persistent compilation cache while the headline runs.
+
 TIMING METHODOLOGY (load-bearing — do not "simplify" this back):
   The TPU runtime behind the axon tunnel defers (and can elide) queued
   program executions whose outputs are never observed: enqueueing N identical
@@ -23,7 +43,10 @@ TIMING METHODOLOGY (load-bearing — do not "simplify" this back):
       to execute for. The (tunnel-sized, ~40-200 ms) fetch cost is measured
       separately and subtracted.
   Calibration under this methodology: 8192^3 matmul -> ~110 TFLOP/s (~56% of
-  bf16 peak), which is sane.
+  bf16 peak), which is sane. The chain fold may be split across 2-3
+  dispatches (op + sum + fold) — the data dependency through the state array
+  still forces every execution, and the extra ~0.2 ms/iteration dispatch
+  overhead is far below the stage costs being measured.
 
 Throughput metric: scan_pairs_per_sec for the fused device pipeline (joint
 clustering + segment extraction + two-stage hist/ICP matching + flow
@@ -41,32 +64,29 @@ is (`README.md:16,82-84`). Real-time for a 10 Hz lidar is 10 pairs/s, so the
 reference is strictly below that bar on its own GPU; we credit it the full
 10.
 
-Extra diagnostics in the line:
-  * per-stage device timings (`stage_*_ms`): cluster / segment-extract /
-    match (hist+ICP+gates) / flow at the real jit boundaries, plus hot-kernel
-    micro-benches (`kern_*_ms`) for the histogram init, batched ICP, and the
-    NN kernel variants at the exact bucket shapes the matcher runs
-    (256 pairs x 512 pts small bucket, 32 x 4096 large bucket).
-  * `nn_bound_ms` / `nn_util_vs_bound`: the dominant inner kernel (masked
-    NN at the large bucket) against its ROOFLINE — the VPU issue-rate bound
-    (~13 vector ops/candidate at 3.85e12 ops/s; derivation at the
-    computation site below). A K=3 distance sweep is neither MXU- nor
-    HBM-bound, so "MFU vs matmul peak" is not reported; nor is a
-    whole-pipeline MFU (XLA cost analysis counts each `while_loop` body
-    once and cannot see data-dependent trip counts — any such number would
-    be fiction).
-  * held-out accuracy (`heldout_*`): multi-frame synthetic lidar scenes
-    (data/synthetic.py; rotating + translating movers, waymo-like gaps 1-4
-    and nuScenes-like gaps 1-10) evaluated through the same DatasetPCA path
-    as real data, with the same config as the demo run — accuracy evidence
-    off the tuning fixture. The reference's eval protocol is replicated:
-    dynamic/static split by sd labels and the PCAccumulation crop
-    (`utils_eval.py:24-63`) that excludes the sub-ground-threshold z-band
-    from the metrics. Details are written to ACCURACY.json.
+Optional sections (budget permitting, in priority order):
+  * held-out synthetic accuracy (`heldout_*`, data/synthetic.py seeds 7-9)
+    through the full DatasetPCA path — accuracy evidence off the tuning
+    fixture, written to ACCURACY.json;
+  * per-stage device timings (`stage_*_ms`) at the real jit boundaries;
+  * Pallas NN kernel on-chip correctness + variants, and the VPU issue-rate
+    roofline for the dominant inner kernel (`nn_bound_ms`,
+    `nn_util_vs_bound`; derivation at the computation site). A K=3 distance
+    sweep is neither MXU- nor HBM-bound, so "MFU vs matmul peak" is not
+    reported; nor is a whole-pipeline MFU (XLA cost analysis counts each
+    ``while_loop`` body once and cannot see data-dependent trip counts — any
+    such number would be fiction);
+  * hot-kernel micro-benches (`kern_*_ms`) at the matcher's bucket shapes;
+  * reference-primary configurations end-to-end: hdbscan clustering
+    (`main.sh:3-43`, every reference preset) and estimated-ego poses
+    (`--if_kiss_icp`, `utils_ego_motion.py:21-111`).
 """
 
 import functools
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -82,6 +102,71 @@ DEMO_PATH = "/root/reference/demo.npz"
 PEAK_BF16_FLOPS = 197e12       # TPU v5e per-chip bf16 peak
 REPS = 3
 ITERS = 4                      # chained pipeline iterations per rep
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+T0 = time.time()
+
+
+def elapsed():
+    return time.time() - T0
+
+
+def remaining():
+    return BUDGET_S - elapsed()
+
+
+def log(msg):
+    print(f"[bench {elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+class Sections:
+    """Budget-gated optional sections; a skipped/failed section returns its
+    default and the bench line records it under "skipped"."""
+
+    def __init__(self):
+        self.skipped = []
+
+    def run(self, name, est_s, fn, default=None):
+        if remaining() < est_s:
+            log(f"SKIP {name}: est {est_s:.0f}s > remaining {remaining():.0f}s")
+            self.skipped.append(name)
+            return default
+        log(f"start {name} (est {est_s:.0f}s, remaining {remaining():.0f}s)")
+        try:
+            t = time.time()
+            out = fn()
+            log(f"done {name} in {time.time() - t:.1f}s")
+            return out
+        except Exception as e:  # pragma: no cover - diagnostics only
+            log(f"ERROR {name}: {e!r}")
+            self.skipped.append(name + ":error")
+            return default
+
+
+def start_warm_pool(jobs, n_threads=2):
+    """AOT-compile upcoming sections' programs into the persistent cache
+    while the main thread runs the headline. Purely an optimisation: every
+    job failure is swallowed and the section compiles live instead."""
+    if os.environ.get("BENCH_WARM", "1") != "1":
+        return
+    it = iter(list(jobs))
+    lock = threading.Lock()
+
+    def worker():
+        while True:
+            with lock:
+                job = next(it, None)
+            if job is None:
+                return
+            name, thunk = job
+            try:
+                t = time.time()
+                thunk()
+                log(f"warm {name}: compiled in {time.time() - t:.1f}s")
+            except Exception as e:  # pragma: no cover
+                log(f"warm {name}: failed {e!r}")
+
+    for _ in range(n_threads):
+        threading.Thread(target=worker, daemon=True).start()
 
 
 def make_cfg():
@@ -154,6 +239,13 @@ def chain_time(step, state0, probe, iters, barrier):
     return max((time.time() - t0 - barrier) / iters, 1e-9)
 
 
+@jax.jit
+def _chain_fold(ps, x):
+    """Fold a scalar of the step's output into the state: the dependency
+    link that makes chained stage timings unelidable."""
+    return ps + 1e-30 * x
+
+
 def heldout_eval(cfg, protocols=None):
     """Held-out accuracy: synthetic multi-frame scenes through DatasetPCA.
 
@@ -165,13 +257,13 @@ def heldout_eval(cfg, protocols=None):
     pair — used for the reference-primary-configuration runs (estimated ego
     via `ops/ego.py` instead of GT poses, hdbscan clustering).
     """
-    import os
     import tempfile
     from icpflow_tpu.data.synthetic import make_sample
     from icpflow_tpu.data.pca import DatasetPCA
     from icpflow_tpu.metrics import crop_for_eval
 
-    # two protocols, same compiled programs (only host-side fields differ):
+    # two protocols, same compiled programs (only host-side fields differ —
+    # PipelineConfig.device_canonical makes that sharing explicit):
     # waymo-like 5-frame (gaps 1-4) and nuScenes-like 11-frame (gaps 1-10,
     # slower movers, main.sh:24-29 cadence)
     base = cfg.replace(dataset="waymo", range_x=32.0, range_y=32.0,
@@ -243,10 +335,26 @@ def heldout_eval(cfg, protocols=None):
     return out
 
 
+def _load_prev_accuracy():
+    try:
+        with open("ACCURACY.json") as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _write_accuracy(doc):
+    with open("ACCURACY.json", "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+
+
 def main():
+    log(f"budget {BUDGET_S:.0f}s (BENCH_BUDGET_S to override)")
     data = load_demo_npz(DEMO_PATH)
     cfg = make_cfg()
     engine = SceneFlowEngine(cfg)
+    canon = cfg.device_canonical()
 
     t0 = time.time()
     p_src, v_src = engine.pad_cloud(data["point_src"])
@@ -259,171 +367,98 @@ def main():
     jgt = jnp.asarray(gt_pad)
     jax.block_until_ready((jps, jpd, jgt))
     host_io_in = time.time() - t0
+    nscene = jps.shape[0]           # demo scene bucket (auto-pow2, 65536)
 
     from icpflow_tpu.models.icp_flow import (_run_pair_fused_impl,
                                              _track_pair_impl)
+    from icpflow_tpu.ops import cluster as _cluster
+    from icpflow_tpu.ops import hist as _hist, icp as _icp
+    from icpflow_tpu.ops.segments import extract_segments
+    from icpflow_tpu.flow import flow_from_transforms
+    from icpflow_tpu.ops.ground import (czm_ground_mask_stateful,
+                                        initial_ground_state)
+
     tf_dev = jnp.float32(2.0)
     pose_dev = jnp.eye(4, dtype=jnp.float32)
+
+    dbscan_kw = dict(eps=cfg.epsilon, min_points=cfg.min_cluster_size,
+                     num_clusters=cfg.num_clusters,
+                     cell_cap=cfg.cluster_cell_cap,
+                     max_iters=cfg.cluster_max_iters,
+                     eps_scale_per_m=cfg.eps_scale_per_m, eps_max=cfg.eps_max)
+
+    # ---- warm pool: AOT-compile upcoming programs into the persistent
+    # cache while the headline compiles/runs on the main thread -------------
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    held_n = 131072                 # heldout synthetic scene bucket
+    k_core = min(cfg.min_cluster_size, 30)
+
+    def _w_track(n):
+        def go():
+            _track_pair_impl.lower(
+                sds((n, 3), f32), sds((n,), bool), sds((n,), jnp.int32),
+                sds((n, 3), f32), sds((n,), bool), sds((n,), jnp.int32),
+                sds((), f32), canon).compile()
+        return go
+
+    warm_jobs = [
+        ("dbscan@heldout", lambda: _cluster.dbscan.lower(
+            sds((2 * held_n, 3), f32), sds((2 * held_n,), bool),
+            **dbscan_kw).compile()),
+        ("track@heldout", _w_track(held_n)),
+        ("ground@heldout", lambda: czm_ground_mask_stateful.lower(
+            sds((held_n, 3), f32), sds((held_n,), bool),
+            initial_ground_state()).compile()),
+        ("dbscan@stage", lambda: _cluster.dbscan.lower(
+            sds((2 * nscene, 3), f32), sds((2 * nscene,), bool),
+            **dbscan_kw).compile()),
+        ("track@demo", _w_track(nscene)),
+        ("icp@large", lambda: _icp.apply_icp.lower(
+            sds((cfg.pairs_large, cfg.max_points, 3), f32),
+            sds((cfg.pairs_large, cfg.max_points), bool),
+            sds((cfg.pairs_large, cfg.max_points, 3), f32),
+            sds((cfg.pairs_large, cfg.max_points), bool),
+            sds((cfg.pairs_large, 4, 4), f32), thres=cfg.thres_dist,
+            max_iters=cfg.icp_max_iters, tile=cfg.nn_tile,
+            patience=cfg.icp_patience, stall_rel=cfg.icp_stall_rel,
+            corr_cap=cfg.icp_corr_cap, shrink=cfg.icp_shrink,
+            inner=cfg.icp_inner,
+            init_margin_rel=cfg.icp_init_margin_rel).compile()),
+        ("exact_knn@hdbscan", lambda: (
+            _cluster.exact_knn_mutual_reachability.lower(
+                sds((2 * nscene, 3), f32), sds((2 * nscene,), bool),
+                k=k_core).compile())),
+    ]
+    start_warm_pool(warm_jobs)
 
     barrier = fetch_barrier_cost()
 
     # ---- headline: chained fused-pipeline throughput ---------------------
+    # Explicit-args step: the SAME compiled program serves the throughput
+    # chain AND the gap-4x stress below (no per-section recompiles).
     @jax.jit
-    def fused_step(ps):
-        out = _run_pair_fused_impl(ps, jvs, jpd, jvd, tf_dev, pose_dev, cfg)
+    def fused_step(ps, vs, pd, vd, tf):
+        out = _run_pair_fused_impl(ps, vs, pd, vd, tf, pose_dev, canon)
         return ps + 1e-30 * out.flow, out
 
     t0 = time.time()
-    _, out0 = fused_step(jps)
+    _, out0 = fused_step(jps, jvs, jpd, jvd, tf_dev)
     _ = float(jnp.sum(out0.flow[0]))
     compile_and_first = time.time() - t0
+    log(f"fused headline compiled+first in {compile_and_first:.1f}s")
 
     rates = []
     for _ in range(REPS):
-        dt = chain_time(fused_step, jps, lambda o: jnp.sum(o.flow[0]),
-                        ITERS, barrier)
+        dt = chain_time(lambda ps: fused_step(ps, jvs, jpd, jvd, tf_dev),
+                        jps, lambda o: jnp.sum(o.flow[0]), ITERS, barrier)
         rates.append(1.0 / dt)
     pairs_per_sec = float(np.median(rates))
     dt = 1.0 / pairs_per_sec
     flow, out = out0.flow, out0.track
+    log(f"headline {pairs_per_sec:.3f} pairs/s")
 
-    # ---- per-stage timings at the real jit boundaries (chained) ----------
-    cat_p = jnp.concatenate([jpd, jps])
-    cat_v = jnp.concatenate([jvd, jvs])
-    from icpflow_tpu.ops import cluster as _cluster
-
-    def cluster_step(p):
-        lab = _cluster.dbscan(
-            p, cat_v, eps=cfg.epsilon, min_points=cfg.min_cluster_size,
-            num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
-            max_iters=cfg.cluster_max_iters,
-            eps_scale_per_m=cfg.eps_scale_per_m, eps_max=cfg.eps_max)
-        return p + 1e-30 * jnp.sum(lab).astype(p.dtype), lab
-
-    t_cluster = chain_time(jax.jit(cluster_step), cat_p,
-                           lambda o: jnp.sum(o), ITERS, barrier)
-    lab = jax.jit(cluster_step)(cat_p)[1]
-    n0 = jpd.shape[0]
-    lab_dst, lab_src = lab[:n0], lab[n0:]
-
-    from icpflow_tpu.ops.segments import extract_segments
-    extract = functools.partial(extract_segments, num_labels=cfg.num_clusters,
-                                max_points=cfg.max_points)
-
-    @jax.jit
-    def extract_step(ps):
-        seg = extract(ps, lab_src, jvs)
-        return ps + 1e-30 * jnp.sum(seg.xyz).astype(ps.dtype), seg
-
-    t_extract = 2 * chain_time(extract_step, jps,
-                               lambda o: jnp.sum(o.count), 8, barrier)
-
-    @jax.jit
-    def track_step(ps):
-        o = _track_pair_impl(ps, jvs, lab_src, jpd, jvd, lab_dst, tf_dev, cfg)
-        return ps + 1e-30 * jnp.sum(o.result.transforms).astype(ps.dtype), o
-
-    t_track = chain_time(track_step, jps,
-                         lambda o: jnp.sum(o.result.transforms), ITERS,
-                         barrier)
-    transforms = jax.jit(track_step)(jps)[1].result.transforms
-
-    from icpflow_tpu.flow import flow_from_transforms
-
-    @jax.jit
-    def flow_step(ps):
-        f = flow_from_transforms(ps, lab_src, transforms, pose_dev)
-        return ps + 1e-30 * f, f
-
-    t_flow = chain_time(flow_step, jps, lambda o: jnp.sum(o[0]), 8, barrier)
-
-    # ---- hot-kernel micro-benches at the matcher's bucket shapes ---------
-    from icpflow_tpu.ops import hist as _hist, icp as _icp
-    rng = np.random.default_rng(0)
-    kern = {}
-    for name, (b, n) in {"small": (cfg.pairs_small, cfg.max_points_small),
-                         "large": (cfg.pairs_large, cfg.max_points)}.items():
-        a = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
-        bb = a + 0.3
-        msk = jnp.ones((b, n), bool)
-
-        @jax.jit
-        def hist_step(x, bb=bb, msk=msk):
-            T = _hist.estimate_init_translation(
-                x, msk, bb, msk, tf_dev, bin_w=cfg.hist_bin,
-                lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
-                topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
-                eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws)
-            return x + 1e-30 * T[:, :3, 3][:, None, :], T
-
-        kern[f"hist_{name}"] = chain_time(
-            hist_step, a, lambda o: jnp.sum(o), 8, barrier)
-
-        init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
-
-        @jax.jit
-        def icp_step(x, bb=bb, msk=msk, init=init):
-            T = _icp.apply_icp(x, msk, bb, msk, init, thres=cfg.thres_dist,
-                               max_iters=cfg.icp_max_iters,
-                               tile=cfg.nn_tile,
-                               patience=cfg.icp_patience,
-                               stall_rel=cfg.icp_stall_rel,
-                               corr_cap=cfg.icp_corr_cap,
-                               shrink=cfg.icp_shrink,
-                               inner=cfg.icp_inner,
-                               init_margin_rel=cfg.icp_init_margin_rel)
-            return x + 1e-30 * T[:, :3, 3][:, None, :], T
-
-        kern[f"icp_{name}"] = chain_time(
-            icp_step, a, lambda o: jnp.sum(o), ITERS, barrier)
-
-    # ---- Pallas NN kernel: on-chip correctness + variant timing ----------
-    # (kernel correctness asserted where it actually runs — the interpret
-    # tests only cover CPU semantics)
-    from icpflow_tpu.ops.knn import _masked_nn_xla
-    from icpflow_tpu.ops.pallas.nn_kernel import masked_nn_pallas
-    b, n = 32, 4096
-    a = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 10)
-    bb = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 10)
-    msk = jnp.asarray(rng.random((b, n)) > 0.2)
-    _, d_xla = _masked_nn_xla(a, bb, msk, tile=512)
-    nn_ms = {}
-    pallas_err = 0.0
-    for variant in ("vpu", "mxu"):
-        _, d_p = masked_nn_pallas(a, bb, msk, variant=variant)
-        err = float(jnp.max(jnp.abs(d_p - d_xla)))
-        assert err < 1e-3, f"pallas {variant} vs xla: {err}"
-        pallas_err = max(pallas_err, err)
-
-        @jax.jit
-        def nn_step(x, v=variant):
-            _, d = masked_nn_pallas(x, bb, msk, variant=v)
-            return x + 1e-30 * d[:, :, None], d
-
-        nn_ms[variant] = chain_time(nn_step, a, lambda o: jnp.sum(o[0]),
-                                    32, barrier)
-
-    # ---- NN-kernel roofline (the dominant inner op) -----------------------
-    # A masked K=3 distance sweep cannot be MXU-efficient (the contraction
-    # axis pads 3 -> 128, wasting 125/128 of the systolic array) and is not
-    # HBM-bound either (inputs are (N+M)*3 floats per batch row, resident in
-    # VMEM; ~1.5 MB moved vs ~0.5 G distance candidates computed). The
-    # attainable bound is VPU ISSUE RATE. Per candidate, the elementwise
-    # variant issues ~13 vector ops: 8 for d^2 (3 sub + 3 mul + 2 add),
-    # 1 mask select, ~1 amortised min-reduce, ~3 argmin (iota compare +
-    # select + min). v5e VPU: 4 ALUs x (8x128) lanes x 0.94 GHz ~= 3.85e12
-    # ops/s. Reported utilization is bound_time / measured_time of the best
-    # variant — "mfu" vs the 197 TFLOP/s matmul peak is meaningless for a
-    # VPU-bound op and is not reported.
-    NN_OPS_PER_ELEM = 13.0
-    VPU_OPS_PER_SEC = 4 * 8 * 128 * 0.94e9
-    nn_elems = float(b) * n * n
-    nn_bound_s = nn_elems * NN_OPS_PER_ELEM / VPU_OPS_PER_SEC
-    nn_util_vs_bound = nn_bound_s / min(nn_ms.values())
-    nn_flops = 2.0 * b * n * n * 3
-    nn_tflops = nn_flops / min(nn_ms.values()) / 1e12
-
-    # ---- accuracy on the demo fixture ------------------------------------
+    # ---- accuracy on the demo fixture (required) --------------------------
     t0 = time.time()
     m = np.asarray(device_metrics(flow, jgt, jvs))
     host_io_out = time.time() - t0
@@ -432,39 +467,217 @@ def main():
 
     # long-temporal-gap stress (0.4 s equivalent): movers displaced 4x.
     # The reference's histogram grid grows O(gap^2) here; ours is constant
-    # (centroid pre-shift), so only accuracy is at stake.
+    # (centroid pre-shift), so only accuracy is at stake. Reuses the
+    # headline's compiled fused program (same signature, tf traced).
     jgt4 = 4.0 * jgt
     jp4 = jps + jgt4
-    lab_d4, lab_s4 = engine.cluster_joint(jp4, jvs, jps, jvs)
-    out4 = engine.track_pair(jps, jvs, lab_s4, jp4, jvs, lab_d4, 8.0)
-    flow4 = engine.flow(jps, lab_s4, out4.result.transforms,
-                        np.eye(4, dtype=np.float32))
-    m4 = np.asarray(device_metrics(flow4, jgt4, jvs))
+    _, out4 = fused_step(jps, jvs, jp4, jvs, jnp.float32(8.0))
+    m4 = np.asarray(device_metrics(out4.flow, jgt4, jvs))
     epe_gap4_dyn = float(m4[1])
+    log(f"demo epe {epe:.5f} dyn {epe_dyn:.5f} acc3ds {accs:.5f} "
+        f"gap4x {epe_gap4_dyn:.5f} matched {n_matched}")
 
-    # ---- held-out synthetic accuracy (off the tuning fixture) ------------
-    heldout = heldout_eval(cfg)
     # persist the core artifact BEFORE the optional sections: a fault there
     # (e.g. the tunnel runtime killing a long execution) must not lose the
-    # round's accuracy evidence
-    acc_doc = {"demo": {"epe3d": round(epe, 5),
-                        "epe3d_dynamic": round(epe_dyn, 5),
-                        "acc3ds": round(accs, 5),
-                        "epe3d_dynamic_gap4x": round(epe_gap4_dyn, 5)},
-               "heldout_synthetic": heldout}
-    with open("ACCURACY.json", "w") as f:
-        json.dump(acc_doc, f, indent=1)
+    # round's accuracy evidence. Entries for skipped sections carry over
+    # from the previous run, marked as such.
+    prev_acc = _load_prev_accuracy()
+    acc_doc = dict(prev_acc)
+    for key in ("heldout_synthetic", "demo_hdbscan", "heldout_ego_estimated"):
+        if key in acc_doc and isinstance(acc_doc[key], dict):
+            acc_doc[key] = dict(acc_doc[key], carried_from_previous_run=True)
+    acc_doc["demo"] = {"epe3d": round(epe, 5),
+                       "epe3d_dynamic": round(epe_dyn, 5),
+                       "acc3ds": round(accs, 5),
+                       "epe3d_dynamic_gap4x": round(epe_gap4_dyn, 5)}
+    _write_accuracy(acc_doc)
+
+    secs = Sections()
+
+    # ---- held-out synthetic accuracy (off the tuning fixture) ------------
+    heldout = secs.run("heldout_synth", 420.0, lambda: heldout_eval(cfg))
+    if heldout is not None:
+        acc_doc["heldout_synthetic"] = heldout
+        _write_accuracy(acc_doc)
+        ho_gaps = heldout["gaps"]
+    else:
+        ho_gaps = (prev_acc.get("heldout_synthetic") or {}).get("gaps", {})
+    ho_g1 = ho_gaps.get("waymo_like_1", {}).get("epe3d_dynamic", -1)
+    ho_g4 = ho_gaps.get("waymo_like_4", {}).get("epe3d_dynamic", -1)
+
+    # ---- per-stage timings at the real jit boundaries (chained) ----------
+    # Each step dispatches the engine's own module-level jitted op, then
+    # folds a scalar of the output into the state (2-3 dispatches per
+    # iteration; the data dependency through the state makes the chain
+    # unelidable). No bespoke jit wrappers -> the matcher program compiled
+    # here is the SAME one engine.track_pair / hdbscan-e2e dispatch.
+    cat_p = jnp.concatenate([jpd, jps])
+    cat_v = jnp.concatenate([jvd, jvs])
+
+    def cluster_stage():
+        def step(p):
+            lab = _cluster.dbscan(p, cat_v, **dbscan_kw)
+            return _chain_fold(p, jnp.sum(lab).astype(p.dtype)), lab
+        t = chain_time(step, cat_p, lambda o: jnp.sum(o), ITERS, barrier)
+        lab = step(cat_p)[1]
+        return t, lab
+
+    cl = secs.run("stage_cluster", 150.0, cluster_stage)
+    if cl is not None:
+        t_cluster, lab = cl
+    else:
+        t_cluster = -1.0
+        lab = jnp.concatenate([out0.lab_dst, out0.lab_src])
+    n0 = jpd.shape[0]
+    lab_dst, lab_src = lab[:n0], lab[n0:].astype(jnp.int32)
+
+    # ---- Pallas NN kernel: on-chip correctness + variant timing ----------
+    # (kernel correctness asserted where it actually runs — the interpret
+    # tests only cover CPU semantics)
+    from icpflow_tpu.ops.knn import _masked_nn_xla
+    from icpflow_tpu.ops.pallas.nn_kernel import masked_nn_pallas
+    rng = np.random.default_rng(0)
+    b_nn, n_nn = 32, 4096
+
+    def nn_section():
+        a = jnp.asarray(rng.normal(size=(b_nn, n_nn, 3)).astype(np.float32)
+                        * 10)
+        bb = jnp.asarray(rng.normal(size=(b_nn, n_nn, 3)).astype(np.float32)
+                         * 10)
+        msk = jnp.asarray(rng.random((b_nn, n_nn)) > 0.2)
+        _, d_xla = _masked_nn_xla(a, bb, msk, tile=512)
+        nn_ms = {}
+        perr = 0.0
+        for variant in ("vpu", "mxu"):
+            _, d_p = masked_nn_pallas(a, bb, msk, variant=variant)
+            err = float(jnp.max(jnp.abs(d_p - d_xla)))
+            assert err < 1e-3, f"pallas {variant} vs xla: {err}"
+            perr = max(perr, err)
+
+            def step(x, v=variant):
+                _, d = masked_nn_pallas(x, bb, msk, variant=v)
+                return _chain_fold(x, d[:, :, None]), d
+
+            nn_ms[variant] = chain_time(step, a, lambda o: jnp.sum(o[0]),
+                                        32, barrier)
+        return nn_ms, perr
+
+    nn_out = secs.run("nn_kernel", 120.0, nn_section)
+    if nn_out is not None:
+        nn_ms, pallas_err = nn_out
+    else:
+        nn_ms, pallas_err = {"vpu": -1e-3, "mxu": -1e-3}, -1.0
+
+    # NN-kernel roofline (the dominant inner op). A masked K=3 distance
+    # sweep cannot be MXU-efficient (the contraction axis pads 3 -> 128,
+    # wasting 125/128 of the systolic array) and is not HBM-bound either
+    # (inputs are (N+M)*3 floats per batch row, resident in VMEM; ~1.5 MB
+    # moved vs ~0.5 G distance candidates computed). The attainable bound is
+    # VPU ISSUE RATE. Per candidate, the elementwise variant issues ~13
+    # vector ops: 8 for d^2 (3 sub + 3 mul + 2 add), 1 mask select, ~1
+    # amortised min-reduce, ~3 argmin (iota compare + select + min).
+    # v5e VPU: 4 ALUs x (8x128) lanes x 0.94 GHz ~= 3.85e12 ops/s. Reported
+    # utilization is bound_time / measured_time of the best variant.
+    NN_OPS_PER_ELEM = 13.0
+    VPU_OPS_PER_SEC = 4 * 8 * 128 * 0.94e9
+    nn_elems = float(b_nn) * n_nn * n_nn
+    nn_bound_s = nn_elems * NN_OPS_PER_ELEM / VPU_OPS_PER_SEC
+    if nn_out is not None:
+        nn_util_vs_bound = nn_bound_s / min(nn_ms.values())
+        nn_tflops = 2.0 * b_nn * n_nn * n_nn * 3 / min(nn_ms.values()) / 1e12
+    else:
+        nn_util_vs_bound = -1.0
+        nn_tflops = -1.0
+
+    # ---- remaining stage timings ------------------------------------------
+    extract = functools.partial(extract_segments, num_labels=cfg.num_clusters,
+                                max_points=cfg.max_points)
+
+    def small_stages():
+        def ex_step(ps):
+            seg = extract(ps, lab_src, jvs)
+            return _chain_fold(ps, jnp.sum(seg.xyz).astype(ps.dtype)), seg
+        t_ex = 2 * chain_time(ex_step, jps, lambda o: jnp.sum(o.count), 8,
+                              barrier)
+
+        transforms = out.result.transforms
+
+        def fl_step(ps):
+            f = flow_from_transforms(ps, lab_src, transforms, pose_dev)
+            return _chain_fold(ps, f), f
+        t_fl = chain_time(fl_step, jps, lambda o: jnp.sum(o[0]), 8, barrier)
+        return t_ex, t_fl
+
+    sm = secs.run("stage_small", 90.0, small_stages)
+    t_extract, t_flow = sm if sm is not None else (-1.0, -1.0)
+
+    def match_stage():
+        def step(ps):
+            o = _track_pair_impl(ps, jvs, lab_src, jpd, jvd, lab_dst,
+                                 tf_dev, canon)
+            return (_chain_fold(
+                ps, jnp.sum(o.result.transforms).astype(ps.dtype)), o)
+        return chain_time(step, jps,
+                          lambda o: jnp.sum(o.result.transforms), ITERS,
+                          barrier)
+
+    t_track = secs.run("stage_match", 240.0, match_stage, default=-1.0)
+
+    # ---- hot-kernel micro-benches at the matcher's bucket shapes ---------
+    def kern_section():
+        kern = {}
+        for name, (b, n) in {"small": (cfg.pairs_small, cfg.max_points_small),
+                             "large": (cfg.pairs_large, cfg.max_points)
+                             }.items():
+            a = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+            bb = a + 0.3
+            msk = jnp.ones((b, n), bool)
+
+            def hist_step(x, bb=bb, msk=msk):
+                T = _hist.estimate_init_translation(
+                    x, msk, bb, msk, tf_dev, bin_w=cfg.hist_bin,
+                    lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
+                    topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
+                    eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws)
+                return _chain_fold(x, T[:, :3, 3][:, None, :]), T
+
+            kern[f"hist_{name}"] = chain_time(
+                hist_step, a, lambda o: jnp.sum(o), 8, barrier)
+
+            init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+
+            def icp_step(x, bb=bb, msk=msk, init=init):
+                T = _icp.apply_icp(x, msk, bb, msk, init,
+                                   thres=cfg.thres_dist,
+                                   max_iters=cfg.icp_max_iters,
+                                   tile=cfg.nn_tile,
+                                   patience=cfg.icp_patience,
+                                   stall_rel=cfg.icp_stall_rel,
+                                   corr_cap=cfg.icp_corr_cap,
+                                   shrink=cfg.icp_shrink,
+                                   inner=cfg.icp_inner,
+                                   init_margin_rel=cfg.icp_init_margin_rel)
+                return _chain_fold(x, T[:, :3, 3][:, None, :]), T
+
+            kern[f"icp_{name}"] = chain_time(
+                icp_step, a, lambda o: jnp.sum(o), ITERS, barrier)
+        return kern
+
+    kern = secs.run("kern_micro", 300.0, kern_section,
+                    default={k: -1e-3 for k in
+                             ("hist_small", "icp_small", "hist_large",
+                              "icp_large")})
 
     # ---- reference-primary configuration, end-to-end ----------------------
     # Every reference preset runs hdbscan clustering (main.sh:3-43,
     # utils_cluster.py:10-29) and the --if_kiss_icp path estimates ego poses
-    # (utils_ego_motion.py:21-111). Both are measured here through the same
+    # (utils_ego_motion.py:21-111). Both are measured through the same
     # drivers as the defaults, so the artifacts carry their accuracy + cost,
     # not just unit tests.
     # (a) hdbscan clustering on the full-res demo fixture (staged path: the
     #     condensed-tree stage is host-side, so wall time after warmup is the
     #     honest cost — a fetch closes each run).
-    try:
+    def hdbscan_section():
         hcfg = cfg.replace(use_hdbscan=True)
         heng = SceneFlowEngine(hcfg)
         outh = heng.run_pair(jps, jvs, jpd, jvd, tf_dev)      # warm/compile
@@ -473,20 +686,23 @@ def main():
         outh = heng.run_pair(jps, jvs, jpd, jvd, tf_dev)
         mh = np.asarray(device_metrics(outh.flow, jgt, jvs))
         hdb_s = time.time() - t0
-        hdb = {"epe3d": round(float(mh[0]), 5),
-               "epe3d_dynamic": round(float(mh[1]), 5),
-               "acc3ds": round(float(mh[2]), 5),
-               "sec_per_pair_wall": round(hdb_s, 3)}
-    except Exception as e:  # pragma: no cover - diagnostics only
-        hdb = {"epe3d": -1, "epe3d_dynamic": -1, "error": repr(e)[:200]}
-    acc_doc["demo_hdbscan"] = hdb
-    with open("ACCURACY.json", "w") as f:
-        json.dump(acc_doc, f, indent=1)
+        return {"epe3d": round(float(mh[0]), 5),
+                "epe3d_dynamic": round(float(mh[1]), 5),
+                "acc3ds": round(float(mh[2]), 5),
+                "sec_per_pair_wall": round(hdb_s, 3)}
+
+    hdb = secs.run("hdbscan_e2e", 300.0, hdbscan_section)
+    if hdb is not None:
+        acc_doc["demo_hdbscan"] = hdb
+        _write_accuracy(acc_doc)
+    else:
+        hdb = prev_acc.get("demo_hdbscan") or {}
+
     # (b) estimated-ego (KISS-style odometry, ops/ego.py) end-to-end on the
     #     held-out waymo-like scene: poses come from the estimator, and the
     #     flow is composed with the ESTIMATED pose exactly as a real
     #     --if_kiss_icp run would (main.py:200,220-234 semantics).
-    try:
+    def ego_section():
         ego_base = cfg.replace(dataset="waymo", range_x=32.0, range_y=32.0,
                                range_z=-1.6, ground_slack=0.3, num_frames=5,
                                use_kiss_icp=True)
@@ -494,17 +710,16 @@ def main():
         heldout_ego = heldout_eval(cfg, protocols=[("waymo_like_ego_est",
                                                     ego_base, (7,))])
         heldout_ego["sec_total_wall"] = round(time.time() - t0, 1)
-    except Exception as e:  # pragma: no cover - diagnostics only
-        heldout_ego = {"gaps": {}, "error": repr(e)[:200]}
-    ego_g1 = heldout_ego["gaps"].get("waymo_like_ego_est_1", {})
-    ego_g4 = heldout_ego["gaps"].get("waymo_like_ego_est_4", {})
+        return heldout_ego
 
-    acc_doc["heldout_ego_estimated"] = heldout_ego
-    with open("ACCURACY.json", "w") as f:
-        json.dump(acc_doc, f, indent=1)
-    ho_gaps = heldout["gaps"]
-    ho_g1 = ho_gaps.get("waymo_like_1", {}).get("epe3d_dynamic", -1)
-    ho_g4 = ho_gaps.get("waymo_like_4", {}).get("epe3d_dynamic", -1)
+    heldout_ego = secs.run("ego_est", 420.0, ego_section)
+    if heldout_ego is not None:
+        acc_doc["heldout_ego_estimated"] = heldout_ego
+        _write_accuracy(acc_doc)
+    else:
+        heldout_ego = prev_acc.get("heldout_ego_estimated") or {"gaps": {}}
+    ego_g1 = heldout_ego.get("gaps", {}).get("waymo_like_ego_est_1", {})
+    ego_g4 = heldout_ego.get("gaps", {}).get("waymo_like_ego_est_4", {})
 
     print(json.dumps({
         "metric": "scan_pairs_per_sec",
@@ -540,11 +755,14 @@ def main():
         "epe3d_dynamic_gap4x": round(epe_gap4_dyn, 5),
         "heldout_dyn_epe_gap1": ho_g1,
         "heldout_dyn_epe_gap4": ho_g4,
-        "hdbscan_epe3d": hdb["epe3d"],
-        "hdbscan_epe3d_dynamic": hdb["epe3d_dynamic"],
+        "hdbscan_epe3d": hdb.get("epe3d", -1),
+        "hdbscan_epe3d_dynamic": hdb.get("epe3d_dynamic", -1),
         "hdbscan_sec_per_pair": hdb.get("sec_per_pair_wall", -1),
         "ego_est_dyn_epe_gap1": ego_g1.get("epe3d_dynamic", -1),
         "ego_est_dyn_epe_gap4": ego_g4.get("epe3d_dynamic", -1),
+        "budget_s": round(BUDGET_S, 1),
+        "elapsed_s": round(elapsed(), 1),
+        "skipped": secs.skipped,
         "device": str(jax.devices()[0]),
     }))
 

@@ -252,6 +252,37 @@ class PipelineConfig:
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
 
+    def device_canonical(self) -> "PipelineConfig":
+        """Config with host-only fields pinned to fixed values.
+
+        The engine passes the config as a ``jax.jit`` static argument, so two
+        configs differing ONLY in host-side fields (dataset name, frame
+        count, crop ranges, ego knobs...) would otherwise compile separate
+        copies of identical device programs — a multi-minute cost per copy on
+        the tunnel-attached chip. Engine call sites canonicalise through this
+        before jitting; every field listed here is provably unused inside the
+        jitted pipeline (grep guard: tests/test_config.py).
+        """
+        return dataclasses.replace(self, **_HOST_ONLY_CANONICAL)
+
+
+# Fields consumed only by host-side orchestration (dataset loaders, ground
+# wrapper call sites, EgoOdometry, CLI/eval) — never read inside
+# _track_pair_impl / _run_pair_fused_impl device code.
+_HOST_ONLY_CANONICAL = dict(
+    dataset="", num_frames=0, speed=0.0,
+    range_x=0.0, range_y=0.0, range_z=0.0, ground_slack=0.0,
+    eval_ground=False, use_kiss_icp=False,
+    # clustering backend choice + hdbscan knobs: consumed by cluster_joint /
+    # DatasetPCA on the host; the jitted matcher/flow never see them (the
+    # fused impl is only reachable with use_hdbscan=False)
+    use_hdbscan=False, hdbscan_edges=0, hdbscan_cells=(),
+    hdbscan_cell_cap=0, hdbscan_exact=False, hdbscan_reclaim=0.0,
+    ego_voxel_size=0.0, ego_max_range=0.0, ego_min_range=0.0,
+    ego_map_capacity=0, ego_src_capacity=0,
+    ego_initial_threshold=0.0, ego_min_motion_th=0.0,
+)
+
 
 # ---------------------------------------------------------------------------
 # Presets mirroring the reference shell scripts (main.sh:3-43, demo.sh:3-15).

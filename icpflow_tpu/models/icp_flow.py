@@ -100,6 +100,11 @@ class SceneFlowEngine:
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        # device programs are jitted on the canonicalised config: engines
+        # differing only in host-side fields (dataset, crop, ego knobs...)
+        # share jit cache entries and persistent-cache programs instead of
+        # recompiling identical HLO (see PipelineConfig.device_canonical)
+        self._dev_cfg = cfg.device_canonical()
         self._scalar_cache = {}
         _enable_compilation_cache()
 
@@ -168,7 +173,7 @@ class SceneFlowEngine:
         return _run_pair_fused_impl(
             pts_src, valid_src, pts_dst, valid_dst,
             self._dev_scalar(translation_frame),
-            jnp.asarray(pose, jnp.float32), self.cfg)
+            jnp.asarray(pose, jnp.float32), self._dev_cfg)
 
     def track_pair(self, pts_src, valid_src, labels_src,
                    pts_dst, valid_dst, labels_dst,
@@ -177,7 +182,7 @@ class SceneFlowEngine:
         return _track_pair_impl(
             pts_src, valid_src, labels_src.astype(jnp.int32),
             pts_dst, valid_dst, labels_dst.astype(jnp.int32),
-            self._dev_scalar(translation_frame), self.cfg)
+            self._dev_scalar(translation_frame), self._dev_cfg)
 
     def flow(self, raw_src_points, labels_src, transforms, pose,
              seg_pidx=None, identity_pt=None):

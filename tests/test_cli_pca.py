@@ -123,11 +123,14 @@ def test_cli_pca_multiframe(tmp_path):
     assert epes["overall_2"] < 0.15      # per-frame gap-2 metric exists
 
 
+@pytest.mark.slow
 def test_cli_sharded_matches_single_device(tmp_path):
     """`--dp/--cp` route the sample's frame pairs through the (dp, cp)
     sharded step (parallel/shard.py); the reported meters must match the
     single-device run on the same fixture (VERDICT r2 item 2: distribution
-    as product code, not just a library)."""
+    as product code, not just a library). Slow tier: two full CLI runs at
+    16k buckets; library-level sharded parity stays in the fast tier
+    (tests/test_sharding.py)."""
     import jax
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
@@ -155,6 +158,40 @@ def test_cli_sharded_matches_single_device(tmp_path):
     for name, v in epes_single.items():
         assert abs(epes_sharded[name] - v) < 1e-4, (name, v,
                                                     epes_sharded[name])
+
+
+def test_cli_multihost_flag_initialises_distributed(pca_root, monkeypatch):
+    """`--multihost` must call jax.distributed.initialize() before building
+    the mesh and then run normally (cli.py:172-177). A real multi-host run
+    needs a pod slice (one process per host with coordinator env vars) —
+    unavailable on this rig — so initialize is mocked and the rest of the
+    pipeline runs single-process. Reuses the module fixture + config of
+    test_cli_pca_end_to_end so the jitted programs are shared."""
+    import jax
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    parser = cli.build_parser()
+    args = parser.parse_args([
+        "--dataset", "waymo", "--split", "test", "--root", pca_root,
+        "--num_frames", "2", "--range_x", "32", "--range_y", "32",
+        "--range_z", "0.0", "--ground_slack", "0.3",
+        "--num_clusters", "32", "--min_cluster_size", "20",
+        "--epsilon", "0.4", "--speed", "1.67", "--max_points", "1024",
+        "--multihost",
+    ])
+    cfg = cli.config_from_args(args).replace(
+        max_points_scene=16384, max_pairs=64, pairs_small=64,
+        pairs_large=8, nn_tile=512, hist_grid_xy=128)
+    orig = cli.config_from_args
+    cli.config_from_args = lambda a: cfg
+    try:
+        epes = cli.run(args)
+    finally:
+        cli.config_from_args = orig
+    assert len(calls) == 1          # initialize() exactly once, before run
+    assert epes["overall_0"] < 0.1
 
 
 def test_shipped_split_manifests():
