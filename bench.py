@@ -227,16 +227,31 @@ def fetch_barrier_cost():
     return float(np.median(ts))
 
 
-def chain_time(step, state0, probe, iters, barrier):
-    """Seconds per chained iteration of ``step``; first (compile) excluded."""
+def chain_time(step, state0, probe, iters, _barrier=None):
+    """Seconds per chained iteration of ``step``; first (compile) excluded.
+
+    Runs the chain twice, at ``iters`` and ``2*iters`` iterations, and
+    reports (T2 - T1) / iters: the closing value-fetch cost (and any other
+    per-chain fixed overhead) appears in BOTH timings and cancels exactly.
+    This self-calibration matters: a separately measured barrier constant
+    goes stale the moment tunnel load changes — the round-4 warm-compile
+    pool inflated a pre-measured barrier by ~0.4 s and silently zeroed every
+    stage/kernel timing in the first cold run (BENCH_r04 debugging note,
+    docs/ROUND4_NOTES.md)."""
     st, out = step(state0)
-    _ = float(probe(out))                       # warm + barrier
-    st = state0
-    t0 = time.time()
-    for _ in range(iters):
-        st, out = step(st)
-    _ = float(probe(out))
-    return max((time.time() - t0 - barrier) / iters, 1e-9)
+    _ = float(probe(out))                       # warm (compile excluded)
+
+    def run(k):
+        st = state0
+        t0 = time.time()
+        for _ in range(k):
+            st, out = step(st)
+        _ = float(probe(out))
+        return time.time() - t0
+
+    t1 = run(iters)
+    t2 = run(2 * iters)
+    return max((t2 - t1) / iters, 1e-9)
 
 
 @jax.jit
@@ -426,6 +441,12 @@ def main():
             inner=cfg.icp_inner,
             init_margin_rel=cfg.icp_init_margin_rel).compile()),
         ("exact_knn@hdbscan", lambda: (
+            _cluster.exact_knn_mutual_reachability.lower(
+                sds((cfg.hdbscan_rep_cap, 3), f32),
+                sds((cfg.hdbscan_rep_cap,), bool),
+                sds((cfg.hdbscan_rep_cap,), jnp.int32),
+                k=k_core).compile()
+            if cfg.hdbscan_dedup_voxel > 0 else
             _cluster.exact_knn_mutual_reachability.lower(
                 sds((2 * nscene, 3), f32), sds((2 * nscene,), bool),
                 k=k_core).compile())),

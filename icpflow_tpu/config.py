@@ -63,6 +63,21 @@ class PipelineConfig:
     # is the upstream-faithful structure; O(N^2) matmul FLOPs (~1 s/frame
     # pair on one v5e chip for the hdbscan path only).
     hdbscan_exact: bool = True
+    # voxel dedup ahead of the exact kNN graph (ops/cluster.py
+    # voxel_dedup_compact): points sharing a fine voxel collapse to one
+    # representative carrying an integer multiplicity, which the weighted
+    # core distance and the weighted native condensed tree count as the
+    # original points. ~4.6x fewer graph nodes on the demo joint cloud ->
+    # ~16x less O(N^2) kNN work at measured-equal end-to-end accuracy.
+    # 0 disables (round-3 behavior: exact graph over every point). The
+    # dedup grid is origin-fixed, so the translation-variance pathology of
+    # the voxel CANDIDATE graph does not apply (translation of the whole
+    # joint cloud shifts which points represent a voxel but not the
+    # density structure the condensed tree sees).
+    hdbscan_dedup_voxel: float = 0.15
+    # representative bucket (static shape). If a scene occupies more voxels,
+    # hdbscan falls back to the full exact graph — counted, never truncated.
+    hdbscan_rep_cap: int = 32768
     # border reclaim: unlabelled points within this mutual-reachability
     # distance of a labelled neighbor adopt its cluster (the analogue of
     # upstream hdbscan's cluster_selection_epsilon; excess-of-mass selection
@@ -278,6 +293,7 @@ _HOST_ONLY_CANONICAL = dict(
     # fused impl is only reachable with use_hdbscan=False)
     use_hdbscan=False, hdbscan_edges=0, hdbscan_cells=(),
     hdbscan_cell_cap=0, hdbscan_exact=False, hdbscan_reclaim=0.0,
+    hdbscan_dedup_voxel=0.0, hdbscan_rep_cap=0,
     ego_voxel_size=0.0, ego_max_range=0.0, ego_min_range=0.0,
     ego_map_capacity=0, ego_src_capacity=0,
     ego_initial_threshold=0.0, ego_min_motion_th=0.0,

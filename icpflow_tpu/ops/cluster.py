@@ -634,11 +634,74 @@ def mutual_reachability_edges(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("voxel", "cap"),
+)
+def voxel_dedup_compact(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    voxel: float,
+    cap: int,
+):
+    """Compact one representative per occupied voxel into a static bucket.
+
+    The exact-kNN mutual-reachability graph (below) is O(N^2); points
+    sharing a fine voxel are mutual near-duplicates whose presence changes
+    the graph only through local density. Deduplicating to one
+    representative per voxel and carrying the lost points as an integer
+    MULTIPLICITY preserves that density exactly where it matters: weighted
+    core distances (d_k counts duplicates) and weighted condensed-tree
+    masses (native ifh_hdbscan_labels_weighted) reproduce the raw-cloud
+    semantics at a fraction of the quadratic cost. The voxel grid is fixed
+    to the coordinate origin, so — unlike a voxel CANDIDATE graph — dedup
+    never changes the graph's connectivity structure, only its sampling; the
+    translation-variance pathology documented on
+    ``mutual_reachability_edges`` does not apply.
+
+    Returns (rep_xyz (cap,3), rep_valid (cap,), rep_mult (cap,) int32,
+             point_rep (N,) int32 — the point's representative slot, == cap
+             for invalid points, n_unique () int32 — occupied voxel count;
+             representatives beyond ``cap`` are dropped and their points map
+             to slot cap; callers MUST check n_unique <= cap and fall back,
+             never truncate silently).
+    """
+    n = xyz.shape[0]
+    xyz = xyz.astype(jnp.float32)
+    valid = valid.astype(bool)
+    cell = jnp.floor(xyz / voxel).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(valid[:, None], cell, 2 ** 20), axis=0)
+    cmax = jnp.max(jnp.where(valid[:, None], cell, -(2 ** 20)), axis=0)
+    span = jnp.maximum(cmax - cmin + 1, 1)
+    cc = cell - cmin
+    ids = (cc[:, 0] * span[1] + cc[:, 1]) * span[2] + cc[:, 2]
+    ids = jnp.where(valid, ids, jnp.int32(2 ** 30))
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    xyz_s = xyz[order]
+    live = ids_s < 2 ** 30
+    first = live & jnp.concatenate(
+        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1       # slot per run
+    rank = jnp.where(live, jnp.minimum(rank, cap), cap)  # overflow -> cap
+    n_unique = jnp.sum(first.astype(jnp.int32))
+
+    rep_xyz = jnp.zeros((cap + 1, 3), jnp.float32).at[
+        jnp.where(first, rank, cap)].set(xyz_s, mode="drop")[:cap]
+    rep_mult = jnp.zeros((cap + 1,), jnp.int32).at[rank].add(
+        1, mode="drop")[:cap]
+    rep_valid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_unique, cap)
+    point_rep = jnp.full((n,), cap, jnp.int32).at[order].set(rank)
+    return rep_xyz, rep_valid, rep_mult, point_rep, n_unique
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "src_tile", "dst_tile"),
 )
 def exact_knn_mutual_reachability(
     xyz: jnp.ndarray,
     valid: jnp.ndarray,
+    mult: jnp.ndarray | None = None,
     *,
     k: int = 20,
     src_tile: int = 1024,
@@ -662,6 +725,15 @@ def exact_knn_mutual_reachability(
 
     Returns: core_dist (N,), edge_dst (N, k) int32 (N = no edge),
              edge_w (N, k) f32 — same contract as the voxel kernel.
+
+    ``mult``: optional (N,) int32 point multiplicities (voxel-dedup
+    representatives, :func:`voxel_dedup_compact`). The core distance then
+    counts POINTS rather than graph nodes: d_k(p) is the distance to the
+    neighbor representative at which the cumulative multiplicity (including
+    p's own mult-1 co-voxel duplicates) first reaches k — the d_k upstream
+    hdbscan would compute on the raw cloud, up to sub-voxel quantisation.
+    Each representative carries >= 1 point, so the k nearest representatives
+    always suffice to reach mass k.
     """
     n = xyz.shape[0]
     f32 = jnp.float32
@@ -713,7 +785,19 @@ def exact_knn_mutual_reachability(
     idx_knn = bi_t.reshape(-1, k)[:n]
     d_knn = jnp.sqrt(jnp.maximum(d2_knn, 0.0))
 
-    core = jnp.where(valid, d_knn[:, k - 1], 1e9)
+    if mult is None:
+        core = jnp.where(valid, d_knn[:, k - 1], 1e9)
+    else:
+        mult = mult.astype(jnp.int32)
+        mpad = jnp.concatenate([mult, jnp.zeros((1,), jnp.int32)])
+        nb_mult = jnp.where(d_knn < 1e8,
+                            mpad[jnp.minimum(idx_knn, n)], 0)
+        cum = (mult - 1)[:, None] + jnp.cumsum(nb_mult, axis=1)
+        reached = cum >= k
+        first = jnp.argmax(reached, axis=1)
+        core_w = jnp.take_along_axis(d_knn, first[:, None], axis=1)[:, 0]
+        core_w = jnp.where((mult - 1) >= k, 0.0, core_w)
+        core = jnp.where(valid & jnp.any(reached, axis=1), core_w, 1e9)
     core_pad = jnp.concatenate([core, jnp.full((1,), 1e9, f32)])
     idx_c = jnp.minimum(idx_knn, n)
     w = jnp.maximum(d_knn, jnp.maximum(core[:, None], core_pad[idx_c]))

@@ -400,11 +400,20 @@ int32_t dsu_find(std::vector<int32_t>& p, int32_t x) {
 
 }  // namespace
 
-extern "C" int64_t ifh_hdbscan_labels(
-    const int32_t* edge_dst, const float* edge_w, int64_t n_points,
-    int32_t edges_per_point, int32_t min_cluster_size,
+// Weighted form: each graph node i stands for node_w[i] original points
+// (voxel-dedup representatives, ops/hdbscan.py). Cluster sizes, the
+// min_cluster_size gate, and stability mass all count POINTS (sum of
+// weights), so the condensed tree behaves as if the duplicates were present
+// — the semantics of running upstream hdbscan on the raw cloud. node_w may
+// be null (all weights 1: the unweighted behaviour, byte-identical).
+static int64_t hdbscan_labels_impl(
+    const int32_t* edge_dst, const float* edge_w, const int32_t* node_w,
+    int64_t n_points, int32_t edges_per_point, int32_t min_cluster_size,
     int32_t* out_labels) {
   const int64_t n = n_points;
+  auto leaf_w = [&](int32_t v) -> int64_t {
+    return node_w ? (int64_t)node_w[v] : 1;
+  };
   // ---- collect + sort candidate edges --------------------------------
   struct E {
     float w;
@@ -431,9 +440,8 @@ extern "C" int64_t ifh_hdbscan_labels(
     comp_node[i] = (int32_t)i;
   }
   Dendro d;
-  std::vector<int64_t> leaf_size(1, 1);
   auto node_size = [&](int32_t v) -> int64_t {
-    return v < n ? 1 : d.size[v - n];
+    return v < n ? leaf_w(v) : d.size[v - n];
   };
   int32_t next_node = (int32_t)n;
   for (const E& e : edges) {
@@ -489,8 +497,9 @@ extern "C" int64_t ifh_hdbscan_labels(
         point_cluster[v] = cluster;
         point_lambda[v] = lam;
         if (cluster >= 0) {
-          cond_stab[cluster] += lam - cond_birth[cluster];
-          cond_size[cluster] += 1;
+          int64_t w = leaf_w(v);
+          cond_stab[cluster] += (double)w * (lam - cond_birth[cluster]);
+          cond_size[cluster] += w;
         }
       } else {
         st.push_back(d.left[v - n]);
@@ -521,10 +530,14 @@ extern "C" int64_t ifh_hdbscan_labels(
             (double)(sl + sr) * (lam - cond_birth[it.cluster]);
       int32_t cl = new_cluster(it.cluster, lam);
       int32_t cr = new_cluster(it.cluster, lam);
+      // a LEAF can clear min_cluster_size on its own when weighted (a dense
+      // voxel's representative); count its mass so EOM can select it
       if (l >= n) stack.push_back({l, cl});
-      else { point_cluster[l] = cl; point_lambda[l] = 1e9f; }
+      else { point_cluster[l] = cl; point_lambda[l] = 1e9f;
+             cond_size[cl] += leaf_w(l); }
       if (r >= n) stack.push_back({r, cr});
-      else { point_cluster[r] = cr; point_lambda[r] = 1e9f; }
+      else { point_cluster[r] = cr; point_lambda[r] = 1e9f;
+             cond_size[cr] += leaf_w(r); }
     } else {
       // smaller side falls out; larger side continues in the same cluster
       if (!bl) assign_subtree(l, it.cluster, lam);
@@ -598,4 +611,20 @@ extern "C" int64_t ifh_hdbscan_labels(
     out_labels[p] = lab;
   }
   return n_sel;
+}
+
+extern "C" int64_t ifh_hdbscan_labels(
+    const int32_t* edge_dst, const float* edge_w, int64_t n_points,
+    int32_t edges_per_point, int32_t min_cluster_size,
+    int32_t* out_labels) {
+  return hdbscan_labels_impl(edge_dst, edge_w, nullptr, n_points,
+                             edges_per_point, min_cluster_size, out_labels);
+}
+
+extern "C" int64_t ifh_hdbscan_labels_weighted(
+    const int32_t* edge_dst, const float* edge_w, const int32_t* node_w,
+    int64_t n_points, int32_t edges_per_point, int32_t min_cluster_size,
+    int32_t* out_labels) {
+  return hdbscan_labels_impl(edge_dst, edge_w, node_w, n_points,
+                             edges_per_point, min_cluster_size, out_labels);
 }

@@ -174,3 +174,104 @@ def test_exact_graph_consistent_across_translation():
         assert cnt.max() > 0.95 * len(grp), (vals, cnt)
     assert np.bincount(la[la >= 0]).argmax() != np.bincount(
         lb[lb >= 0]).argmax()
+
+
+def test_voxel_dedup_compact_invariants():
+    from icpflow_tpu.ops.cluster import voxel_dedup_compact
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-5, 5, size=(800, 3)).astype(np.float32)
+    valid = np.ones(800, bool)
+    valid[700:] = False
+    cap = 4096
+    rx, rv, rm, pr, nu = voxel_dedup_compact(
+        jnp.asarray(pts), jnp.asarray(valid), voxel=0.5, cap=cap)
+    rx, rv, rm, pr, nu = map(np.asarray, (rx, rv, rm, pr, nu))
+    # representative count == occupied voxels of the valid points
+    ids = np.floor(pts[:700] / 0.5).astype(np.int64)
+    key = ids[:, 0] * 10**8 + ids[:, 1] * 10**4 + ids[:, 2]
+    assert int(nu) == len(np.unique(key))
+    assert rv.sum() == int(nu)
+    # multiplicities partition the valid points
+    assert rm.sum() == 700
+    # every valid point maps to a live slot; invalid points map to cap
+    assert (pr[:700] < int(nu)).all()
+    assert (pr[700:] == cap).all()
+    # a point and its representative share a voxel
+    rep_ids = np.floor(rx[pr[:700]] / 0.5).astype(np.int64)
+    assert (rep_ids == ids).all()
+    # multiplicity of each point's rep counts its voxel's points
+    vox_count = {k: c for k, c in zip(*np.unique(key, return_counts=True))}
+    got = rm[pr[:700]]
+    want = np.array([vox_count[k] for k in key])
+    assert (got == want).all()
+
+
+def test_weighted_core_counts_points():
+    """Weighted d_k on dedup representatives ~= raw-cloud d_k (within the
+    voxel quantisation)."""
+    from icpflow_tpu.ops.cluster import (exact_knn_mutual_reachability,
+                                         voxel_dedup_compact)
+    rng = np.random.default_rng(8)
+    pts = np.concatenate([
+        blob(rng, [0, 0, 0], 300, 0.08),      # dense: many co-voxel dups
+        blob(rng, [8, 0, 0], 60, 0.7),        # sparse: mult ~ 1
+    ])
+    valid = np.ones(len(pts), bool)
+    k = 10
+    vox = 0.15
+    rx, rv, rm, pr, nu = voxel_dedup_compact(
+        jnp.asarray(pts), jnp.asarray(valid), voxel=vox, cap=2048)
+    core_w, _, _ = exact_knn_mutual_reachability(rx, rv, rm, k=k)
+    core_w = np.asarray(core_w)
+    # raw-cloud d_k
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    kth = np.sort(d, axis=1)[:, k - 1]
+    pr = np.asarray(pr)
+    # compare each point's rep core against its true d_k: equal up to the
+    # voxel diagonal (dedup quantises distances by at most one cell diag)
+    err = np.abs(core_w[pr] - kth)
+    assert np.quantile(err, 0.9) < vox * np.sqrt(3) + 1e-3, err.max()
+
+
+def test_dedup_path_matches_full_graph_labels():
+    """End contract: labels from the dedup path agree with the full exact
+    graph (same partition up to label permutation) on a mixed-density
+    scene."""
+    rng = np.random.default_rng(9)
+    pts = np.concatenate([
+        blob(rng, [0, 0, 0], 400, 0.06),
+        blob(rng, [3, 0, 0], 250, 0.06),
+        blob(rng, [20, 20, 0], 150, 0.5),
+        rng.uniform(-30, 40, size=(60, 3)).astype(np.float32),
+    ])
+    valid = np.ones(len(pts), bool)
+    full = hdbscan(jnp.asarray(pts), jnp.asarray(valid),
+                   CFG.replace(hdbscan_dedup_voxel=0.0))
+    dedup = hdbscan(jnp.asarray(pts), jnp.asarray(valid),
+                    CFG.replace(hdbscan_dedup_voxel=0.15, hdbscan_rep_cap=4096))
+    # cluster cores must agree: for each of the three planted groups, the
+    # dominant label covers the group in both runs and the partitions match
+    for sl in (slice(0, 400), slice(400, 650), slice(650, 800)):
+        f, g = full[sl], dedup[sl]
+        assert (f >= 0).mean() > 0.9 and (g >= 0).mean() > 0.9
+        fm = np.bincount(f[f >= 0]).argmax()
+        gm = np.bincount(g[g >= 0]).argmax()
+        both = (f == fm) & (g == gm)
+        assert both.mean() > 0.85, (sl, both.mean())
+
+
+def test_dedup_overflow_falls_back_to_full_graph():
+    from icpflow_tpu.ops import hdbscan as hmod
+    rng = np.random.default_rng(10)
+    pts = rng.uniform(-50, 50, size=(600, 3)).astype(np.float32)
+    dense = blob(rng, [0, 0, 0], 300, 0.1)
+    pts = np.concatenate([pts, dense])
+    valid = np.ones(len(pts), bool)
+    before = hmod.DEDUP_OVERFLOWS
+    # rep_cap 64 << unique voxels -> must fall back, counted, still labels
+    lab = hdbscan(jnp.asarray(pts), jnp.asarray(valid),
+                  CFG.replace(hdbscan_dedup_voxel=0.15, hdbscan_rep_cap=64))
+    assert hmod.DEDUP_OVERFLOWS == before + 1
+    core = lab[600:]
+    assert (core >= 0).mean() > 0.85
