@@ -251,6 +251,16 @@ class PipelineConfig:
     ego_src_capacity: int = 16384
     ego_initial_threshold: float = 2.0
     ego_min_motion_th: float = 0.1
+    # tight-radius refinement pass after the adaptive-threshold
+    # registration (framework extension beyond kiss-icp — see ops/ego.py):
+    # the adaptive threshold cannot fall below the last deviation that
+    # cleared min_motion_th, so on well-predicted sequences the gate stays
+    # metres wide and far self-similar structure keeps ~cm of bias in the
+    # solve. 0 disables (exact kiss-icp schedule).
+    ego_refine_sigma: float = 0.1
+    # registration iteration cap (kiss-icp MAX_NUM_ITERATIONS_ = 500; the
+    # loop is convergence-terminated, the cap only bounds failure cases)
+    ego_max_iters: int = 500
 
     # --- numerics ---
     dtype_points: str = "float32"
@@ -296,7 +306,8 @@ _HOST_ONLY_CANONICAL = dict(
     hdbscan_dedup_voxel=0.0, hdbscan_rep_cap=0,
     ego_voxel_size=0.0, ego_max_range=0.0, ego_min_range=0.0,
     ego_map_capacity=0, ego_src_capacity=0,
-    ego_initial_threshold=0.0, ego_min_motion_th=0.0,
+    ego_initial_threshold=0.0, ego_min_motion_th=0.0, ego_refine_sigma=0.0,
+    ego_max_iters=0,
 )
 
 

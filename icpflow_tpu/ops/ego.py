@@ -173,33 +173,66 @@ class EgoOdometry:
         else:
             sigma = self._sigma()
             initial = (self.poses[-1] @ self._prediction()).astype(np.float32)
+            jsb, jsv = jnp.asarray(sbuf), jnp.asarray(svalid)
+            jmap, jmv = jnp.asarray(self._map), jnp.asarray(self._map_valid)
             pose = np.asarray(register_frame_icp(
-                jnp.asarray(sbuf), jnp.asarray(svalid),
-                jnp.asarray(self._map), jnp.asarray(self._map_valid),
+                jsb, jsv, jmap, jmv,
                 jnp.asarray(initial), jnp.float32(3.0 * sigma),
-                jnp.float32(sigma / 3.0)))
+                jnp.float32(sigma / 3.0), iters=cfg.ego_max_iters))
+            if cfg.ego_refine_sigma > 0:
+                # tight-radius refinement (framework extension beyond
+                # kiss-icp, docs/ARCHITECTURE.md): the adaptive threshold
+                # cannot fall below the LAST prediction deviation that
+                # cleared min_motion_th, so on well-predicted sequences the
+                # gate stays metres wide and far self-similar structure
+                # keeps ~cm of bias in the solve. One more registration at a
+                # fixed tight radius (same robust kernel shape) polishes the
+                # pose using only near-surface correspondences; with the
+                # wide-gate pose as its init it cannot diverge (same
+                # convergence-terminated loop).
+                s2 = cfg.ego_refine_sigma
+                pose = np.asarray(register_frame_icp(
+                    jsb, jsv, jmap, jmv,
+                    jnp.asarray(pose), jnp.float32(3.0 * s2),
+                    jnp.float32(s2 / 3.0), iters=cfg.ego_max_iters))
+            # model deviation for the adaptive threshold: translation PLUS
+            # the rotation-induced displacement at max range — kiss-icp's
+            # ComputeModelError (adaptive_threshold.cpp), not just |t|
             dev = np.linalg.inv(self.poses[-1] @ self._prediction()) @ pose
-            self._deviations.append(float(np.linalg.norm(dev[:3, 3])))
+            theta = np.arccos(np.clip((np.trace(dev[:3, :3]) - 1) / 2,
+                                      -1.0, 1.0))
+            model_err = (2.0 * cfg.ego_max_range * np.sin(theta / 2.0)
+                         + np.linalg.norm(dev[:3, 3]))
+            self._deviations.append(float(model_err))
 
-        # map update: insert downsampled frame in world coords, voxel-dedup,
-        # keep most recent points within capacity; prune map points beyond
-        # max_range of the current pose (kiss-icp VoxelHashMap::Update's
-        # RemovePointsFarFromLocation, invoked via `utils_ego_motion.py:85`)
+        # map update: insert downsampled frame in world coords, voxel-dedup
+        # with EXISTING map points winning occupied voxels (kiss-icp
+        # VoxelHashMap::AddPoints inserts only into non-full voxels — the
+        # map is stable, new scans fill gaps), then truncate to capacity;
+        # prune map points beyond max_range of the current pose (kiss-icp
+        # VoxelHashMap::Update's RemovePointsFarFromLocation, invoked via
+        # `utils_ego_motion.py:85`). Order matters: the round-3 code
+        # truncated [new; old] BEFORE dedup, so a large new scan could evict
+        # the entire far map every frame.
         world = buf[keep_map] @ pose[:3, :3].T + pose[:3, 3]
         old = self._map[self._map_valid]
         if len(old):
             old = old[np.linalg.norm(old - pose[:3, 3], axis=1)
                       <= cfg.ego_max_range]
-        allpts = np.concatenate([world, old])[: cfg.ego_map_capacity]
         capn = cfg.ego_map_capacity
-        mbuf = np.zeros((capn, 3), np.float32)
-        mbuf[: len(allpts)] = allpts
-        mvalid = np.zeros((capn,), bool)
-        mvalid[: len(allpts)] = True
+        allpts = np.concatenate([old, world])      # old FIRST: wins dedup
+        dbuf = np.zeros((2 * capn, 3), np.float32)
+        nd = min(len(allpts), 2 * capn)
+        dbuf[:nd] = allpts[:nd]
+        dvalid = np.zeros((2 * capn,), bool)
+        dvalid[:nd] = True
         keep = np.asarray(voxel_downsample_mask(
-            jnp.asarray(mbuf), jnp.asarray(mvalid),
+            jnp.asarray(dbuf), jnp.asarray(dvalid),
             voxel=cfg.ego_voxel_size))
+        kept = dbuf[keep][:capn]                   # dedup THEN truncate
+        mbuf = np.zeros((capn, 3), np.float32)
+        mbuf[: len(kept)] = kept
         self._map = mbuf
-        self._map_valid = keep
+        self._map_valid = np.arange(capn) < len(kept)
         self.poses.append(pose.astype(np.float32))
         return pose

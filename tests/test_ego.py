@@ -54,7 +54,10 @@ def test_odometry_recovers_constant_motion():
     for k in (1, 2, 3):
         est_t = odo.poses[k][:3, 3]
         err = np.linalg.norm(est_t - true_poses[k][:3, 3])
-        assert err < 0.15, (k, est_t, true_poses[k][:3, 3])
+        # mm-level since the tight-radius refinement pass (measured 0.05 cm;
+        # the bound leaves 20x headroom). The pre-refine pipeline sat at
+        # ~3-4 cm — a regression past 1 cm means the refine pass broke.
+        assert err < 0.01, (k, est_t, true_poses[k][:3, 3])
 
 
 def _se3(yaw, t):
@@ -103,8 +106,12 @@ def test_map_range_pruning_bounds_memory():
     saturates its capacity with stale geometry."""
     rng = np.random.default_rng(2)
     world = make_world(rng, n=4000)
+    # ego_max_iters bounds the failed 12m-leap registrations (this test is
+    # about map PRUNING; the 12 m/frame motion intentionally exceeds the
+    # initial 3-sigma gate, and a failed solve otherwise burns the full
+    # 500-iteration cap per frame on CPU)
     cfg = DEMO.replace(max_points_scene=8192, ego_map_capacity=16384,
-                       nn_tile=512, ego_max_range=48.0)
+                       nn_tile=512, ego_max_range=48.0, ego_max_iters=40)
     odo = EgoOdometry(cfg)
     for k in range(6):
         t = np.array([12.0 * k, 0, 0])
