@@ -121,125 +121,137 @@ def dbscan(
     valid_s = valid[order]
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    # --- 3a. candidate run boundaries, hoisted out of the tile loop ------
-    # z-minor flat ids make the 3 z-adjacent cells of offset (dx, dy) one
-    # contiguous id run [id + delta, id + delta + 3). All (N, 9, {lo, hi})
-    # boundary queries are answered from a DENSE exclusive-prefix table over
+    # --- 3a. candidate boundaries, hoisted out of the tile loop ----------
+    # Boundary queries are answered from a DENSE exclusive-prefix table over
     # cell ids (one bincount scatter + one cumsum + plain gathers) — 2x
     # cheaper than the sort-merge searchsorted at demo scale (37 vs 77 ms).
     # Scenes whose cell space exceeds the table fall back to the sort form
     # (lax.cond: only the taken branch executes).
-    deltas = jnp.stack(
-        [(jnp.int32(dx) * span[1] + jnp.int32(dy)) * span[2] - 1
-         for dx, dy in _NBR9])                                    # (9,)
-    lo = ids_s[:, None] + deltas[None, :]                         # (N,9)
-    queries = jnp.concatenate([lo, lo + 3], axis=1)               # (N,18)
     ncell = span[0] * span[1] * span[2]
     table_cap = 1 << 22
 
-    def bounds_table(_):
-        # invalid ids (2^30) land in the last bucket, above every query
-        iv = jnp.minimum(ids_s, table_cap + 1)
-        cnt = jnp.zeros((table_cap + 2,), jnp.int32).at[iv].add(
-            1, mode="drop")
-        starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]])
-        q = jnp.clip(queries, 0, jnp.minimum(ncell, table_cap + 1))
-        return starts[q]
+    def bounds_for(queries):
+        def bounds_table(_):
+            # invalid ids (2^30) land in the last bucket, above every query
+            iv = jnp.minimum(ids_s, table_cap + 1)
+            cnt = jnp.zeros((table_cap + 2,), jnp.int32).at[iv].add(
+                1, mode="drop")
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]])
+            q = jnp.clip(queries, 0, jnp.minimum(ncell, table_cap + 1))
+            return starts[q]
 
-    def bounds_sort(_):
-        return jnp.searchsorted(
-            ids_s, queries.reshape(-1),
-            method="sort").reshape(n, 18).astype(jnp.int32)
+        def bounds_sort(_):
+            return jnp.searchsorted(
+                ids_s, queries.reshape(-1),
+                method="sort").reshape(queries.shape).astype(jnp.int32)
 
-    bounds = jax.lax.cond(ncell <= table_cap, bounds_table, bounds_sort,
-                          operand=None)
-    starts_all = bounds[:, :9]
-    tots_all = bounds[:, 9:] - starts_all                         # (N,9)
+        return jax.lax.cond(ncell <= table_cap, bounds_table, bounds_sort,
+                            operand=None)
 
-    # --- 3b. per-tile candidate fetch -------------------------------------
-    # A run's candidates are a contiguous window [start, start + rcap) of the
-    # sorted layout. Arbitrary-offset windowed gathers hit a slow XLA path
-    # (measured ~2 s/frame-pair), so the windows are fetched from an
-    # OVERLAPPED ROW TABLE instead: row i of ``blocks`` covers sorted
-    # positions [i*blk, i*blk + blk + rcap), so any window whose start falls
-    # in row i is contained in that single row, and the fetch becomes a plain
-    # row gather — the one gather pattern the TPU moves at full speed.
-    blk = 64
-    width = ((blk + rcap + blk - 1) // blk) * blk   # row coverage
-    nb = -(-n // blk)
-    xyz_sp = jnp.pad(xyz_s, ((0, nb * blk + width - n), (0, 0)))
-    blocks = jnp.concatenate(
-        [xyz_sp[o:o + nb * blk].reshape(nb, blk, 3)
-         for o in range(0, width, blk)], axis=1)                  # (nb,W,3)
-
+    # --- 3b. candidate pass ------------------------------------------------
+    # Emits (counts (N,), edges (N,9) sorted-layout, n = no edge). The 9
+    # (dx, dy) 3-z-cell runs are fetched per point from an overlapped row
+    # table (row i covers sorted positions [i*blk, i*blk + blk + rcap), so
+    # any run window lives in one row and the fetch is a plain row gather —
+    # the one gather pattern the TPU moves at full speed), with per-run
+    # candidate cap ``rcap`` and unbiased count rescaling.
+    #
+    # A dense-bands variant (3 contiguous seg-slices per tile, no gathers,
+    # exact counts) was built and measured slower end-to-end: candidates
+    # 78 ms vs 57 ms here, and its band-extreme edges produced 437k unique
+    # cell pairs vs 31k (first/last-per-run hits repeat across a cell's
+    # points; band extremes don't), overflowing the contracted-propagation
+    # buffer and forcing the 17-round compact path (+150 ms).
     pad_tile = (-n) % tile
     nt = (n + pad_tile) // tile
     xyz_pad = jnp.pad(xyz_s, ((0, pad_tile), (0, 0)))
     eps_pad = jnp.pad(eps_s, (0, pad_tile))
-    starts_pad = jnp.pad(starts_all, ((0, pad_tile), (0, 0)),
-                         constant_values=n)
-    tots_pad = jnp.pad(tots_all, ((0, pad_tile), (0, 0)))
 
-    def tile_pass(t):
-        base = t * tile
-        rows = base + jnp.arange(tile)
-        p = jax.lax.dynamic_slice_in_dim(xyz_pad, base, tile)     # (T,3)
-        p_eps = jax.lax.dynamic_slice_in_dim(eps_pad, base, tile)
-        st = jax.lax.dynamic_slice_in_dim(starts_pad, base, tile) # (T,9)
-        tt = jax.lax.dynamic_slice_in_dim(tots_pad, base, tile)
-        row_ok = rows < n_valid
-
-        st_c = jnp.clip(st, 0, jnp.int32(n))
-        bi = jnp.minimum(st_c // blk, nb - 1)                     # (T,9)
-        g = blocks[bi]                                            # (T,9,W,3)
-        k = jnp.arange(width, dtype=jnp.int32)
-        pos = bi[:, :, None] * blk + k[None, None, :]             # (T,9,W)
-        ok = ((pos >= st[:, :, None])
-              & (pos < st[:, :, None] + tt[:, :, None])
-              & (pos < jnp.minimum(st[:, :, None] + rcap, n_valid)))
-
-        d_sq = jnp.sum((g - p[:, None, None, :]) ** 2, axis=-1)   # (T,9,R)
+    def cand_eps(g):
         if adaptive:
-            e_cand = jnp.clip(
+            return jnp.clip(
                 eps + eps_scale_per_m * jnp.linalg.norm(g[..., :2], axis=-1),
                 eps, eps_max)
-        else:
-            e_cand = jnp.float32(eps)
-        # mutual adaptive radius: edge iff d <= min(eps_i, eps_j)
-        r_edge = jnp.minimum(p_eps[:, None, None], e_cand)
-        within = ok & (d_sq <= r_edge * r_edge) & row_ok[:, None, None]
+        return jnp.float32(eps)
 
-        # unbiased neighbor count under the run cap: rescale each run's
-        # sampled within-count by its total/sampled ratio
-        totf = tt.astype(f32)
-        scale = totf / jnp.maximum(jnp.minimum(totf, rcap), 1.0)
-        count = jnp.round(jnp.sum(
-            jnp.sum(within, axis=2).astype(f32) * scale, axis=1)
-        ).astype(jnp.int32)
+    def windowed_pass(_):
+        deltas = jnp.stack(
+            [(jnp.int32(dx) * span[1] + jnp.int32(dy)) * span[2] - 1
+             for dx, dy in _NBR9])                                # (9,)
+        lo = ids_s[:, None] + deltas[None, :]                     # (N,9)
+        bounds = bounds_for(jnp.concatenate([lo, lo + 3], axis=1))
+        starts_all = bounds[:, :9]
+        tots_all = bounds[:, 9:] - starts_all                     # (N,9)
 
-        # compact to fixed-degree edges: the FIRST and LAST within-eps
-        # candidate of every (dx, dy) run (2 reductions over the window —
-        # the previous per-z-cell cumsum rank-select was the single most
-        # expensive piece of the whole candidate pass, 376 of 426 ms at
-        # demo scale, and restricting its window broke border adoption).
-        # Within a cell the sorted order is arbitrary, so first/last are
-        # effectively two random within-eps neighbors per run; across the
-        # 9 runs that is up to 18 edges/point, redundant enough for core
-        # connectivity, and any point with at least one within-eps hit
-        # keeps an edge for border adoption. A run spanning 3 z-cells
-        # contributes its extremes, which usually sit in different z-cells,
-        # preserving the cross-z links of the old z-split selection.
-        pos_hit_min = jnp.min(jnp.where(within, pos, jnp.int32(2 ** 30)),
-                              axis=2)                             # (T,9)
-        pos_hit_max = jnp.max(jnp.where(within, pos, -1), axis=2)
-        e_first = jnp.where(pos_hit_min < 2 ** 30, pos_hit_min, n)
-        e_last = jnp.where(pos_hit_max >= 0, pos_hit_max, n)
-        return count, jnp.concatenate([e_first, e_last], axis=1)  # (T,18)
+        blk = 64
+        width = ((blk + rcap + blk - 1) // blk) * blk   # row coverage
+        nb = -(-n // blk)
+        xyz_sp = jnp.pad(xyz_s, ((0, nb * blk + width - n), (0, 0)))
+        blocks = jnp.concatenate(
+            [xyz_sp[o:o + nb * blk].reshape(nb, blk, 3)
+             for o in range(0, width, blk)], axis=1)              # (nb,W,3)
+        starts_pad = jnp.pad(starts_all, ((0, pad_tile), (0, 0)),
+                             constant_values=n)
+        tots_pad = jnp.pad(tots_all, ((0, pad_tile), (0, 0)))
 
-    counts, edges = jax.lax.map(tile_pass, jnp.arange(nt))
-    counts = counts.reshape(-1)[:n]
-    edges = edges.reshape(-1, 18)[:n]                             # sorted layout
+        def tile_pass(t):
+            base = t * tile
+            rows = base + jnp.arange(tile)
+            p = jax.lax.dynamic_slice_in_dim(xyz_pad, base, tile)   # (T,3)
+            p_eps = jax.lax.dynamic_slice_in_dim(eps_pad, base, tile)
+            st = jax.lax.dynamic_slice_in_dim(starts_pad, base, tile)
+            tt = jax.lax.dynamic_slice_in_dim(tots_pad, base, tile)
+            row_ok = rows < n_valid
+
+            st_c = jnp.clip(st, 0, jnp.int32(n))
+            bi = jnp.minimum(st_c // blk, nb - 1)                 # (T,9)
+            g = blocks[bi]                                        # (T,9,W,3)
+            k = jnp.arange(width, dtype=jnp.int32)
+            pos = bi[:, :, None] * blk + k[None, None, :]         # (T,9,W)
+            ok = ((pos >= st[:, :, None])
+                  & (pos < st[:, :, None] + tt[:, :, None])
+                  & (pos < jnp.minimum(st[:, :, None] + rcap, n_valid)))
+
+            d_sq = jnp.sum((g - p[:, None, None, :]) ** 2, axis=-1)
+            # mutual adaptive radius: edge iff d <= min(eps_i, eps_j)
+            r_edge = jnp.minimum(p_eps[:, None, None], cand_eps(g))
+            within = ok & (d_sq <= r_edge * r_edge) & row_ok[:, None, None]
+            # materialize the (T,9,W) mask ONCE: without this barrier XLA
+            # rematerializes the (T,9,W,3) row gather for every reduction
+            # consumer below (count, first), which measured 184 ms of a
+            # 205 ms standalone candidate pass at demo scale. ``pos`` is
+            # affine (bi*blk + k) — cheaper to recompute than to spill.
+            within = jax.lax.optimization_barrier(within)
+
+            # unbiased neighbor count under the run cap: rescale each run's
+            # sampled within-count by its total/sampled ratio
+            totf = tt.astype(f32)
+            scale = totf / jnp.maximum(jnp.minimum(totf, rcap), 1.0)
+            count = jnp.round(jnp.sum(
+                jnp.sum(within, axis=2).astype(f32) * scale, axis=1)
+            ).astype(jnp.int32)
+
+            # compact to fixed-degree edges: the FIRST within-eps candidate
+            # of every (dx, dy) run. Within a cell the sorted order is
+            # arbitrary, so "first" is effectively a random within-eps
+            # neighbor per run; across the 9 runs that is up to 9
+            # edges/point — enough redundancy for core connectivity (run
+            # firsts repeat across a cell's points, so they dedup to a
+            # small multiple of the cell count downstream), and any point
+            # with at least one within-eps hit keeps an edge for border
+            # adoption. (The previous first+last 18-slot form doubles the
+            # compaction/sort/border-scatter traffic of step 4 for edges
+            # that dedup away.)
+            pos_hit_min = jnp.min(jnp.where(within, pos, jnp.int32(2 ** 30)),
+                                  axis=2)                         # (T,9)
+            e_first = jnp.where(pos_hit_min < 2 ** 30, pos_hit_min, n)
+            return count, e_first
+
+        counts, edges = jax.lax.map(tile_pass, jnp.arange(nt))
+        return counts.reshape(-1)[:n], edges.reshape(-1, 9)[:n]
+
+    counts, edges = windowed_pass(None)
 
     core = (counts >= min_points) & valid_s
     if debug_edges:
@@ -261,7 +273,7 @@ def dbscan(
     #     more complete than the fixed-degree point graph's.
     #  b. COMPACT point edges: when the fine-cell table would overflow or
     #     the deduplicated cell edges exceed their cap — compact the mostly
-    #     empty (N, 18) slab once to a flat endpoint list.
+    #     empty (N, 9) slab once to a flat endpoint list.
     #  c. SLAB: when even the point edge list overflows its cap (dense toy
     #     blobs), relax over the full slab — exact, no caps.
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -269,7 +281,10 @@ def dbscan(
     init_label = jnp.where(core, idx, n)
 
     flat_v = edges.reshape(-1)
-    ecap = min(8 * n, flat_v.shape[0])
+    # 9-slot slab, ~2.8 real edges/pt at demo scale: 4n holds it with ~40%
+    # headroom, and every compaction/sort/scatter stage below moves this
+    # STATIC buffer — halving it (vs the old 8n) halves their cost
+    ecap = min(4 * n, flat_v.shape[0])
     n_real = jnp.sum((flat_v < n).astype(jnp.int32))
 
     # point-level edge compaction (shared by paths a and b; path c is the
@@ -321,7 +336,8 @@ def dbscan(
     # relax round's gather/scatter traffic vs the old n-sized one, and the
     # cond guard below (n_uni <= ccap) falls back to the compacted
     # point-edge path when a denser scene overflows it — correctness never
-    # depends on the cap.
+    # depends on the cap. (Relax rounds move the whole STATIC buffer, dead
+    # slots included — a 4n buffer was measured 8x slower per round.)
     ccap = min(max(n // 2, 16384), ecap)
     (csel,) = jnp.nonzero(first, size=ccap, fill_value=ecap)
     csel_c = jnp.minimum(csel, ecap - 1)
@@ -414,7 +430,7 @@ def dbscan(
 
     def slab_path(_):
         # fallback when the graph is denser than the compaction cap (toy
-        # blobs, pathological inputs): relax over the full (N, 54) slab
+        # blobs, pathological inputs): relax over the full (N, 9) slab
         core_edges = jnp.where(core_pad[edges] & core[:, None], edges, n)
 
         def prop_body(state):
