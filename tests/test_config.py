@@ -81,11 +81,13 @@ def test_canonical_config_runs_pipeline():
     """The canonicalised config must drive the real engine unchanged."""
     from icpflow_tpu import SceneFlowEngine
 
+    # minimal buckets: this test only proves the canonicalised configs drive
+    # ONE shared compiled program, so compile cost is the whole budget
     cfg = PipelineConfig(
-        max_points_scene=2048, max_points=256, num_clusters=16,
-        pairs_small=16, pairs_large=4, max_points_small=64,
-        epsilon=0.6, min_cluster_size=10, nn_tile=128, hist_grid_xy=32,
-        icp_max_iters=8)
+        max_points_scene=1024, max_points=128, num_clusters=8,
+        pairs_small=8, pairs_large=2, max_points_small=32,
+        epsilon=0.6, min_cluster_size=10, nn_tile=64, hist_grid_xy=32,
+        icp_max_iters=4)
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(300, 3)).astype(np.float32) * 2.0
     eng_a = SceneFlowEngine(cfg.replace(dataset="waymo", num_frames=7))

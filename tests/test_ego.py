@@ -37,7 +37,9 @@ def test_voxel_downsample_mask():
 def test_odometry_recovers_constant_motion():
     rng = np.random.default_rng(0)
     world = make_world(rng)
-    cfg = DEMO.replace(max_points_scene=16384, ego_map_capacity=32768,
+    # 8192/16384 buckets hold the 6k-point world + map comfortably and
+    # halve this fast-tier test's compile+run cost vs the old 16k/32k
+    cfg = DEMO.replace(max_points_scene=8192, ego_map_capacity=16384,
                        nn_tile=512)
     odo = EgoOdometry(cfg)
     true_poses = []

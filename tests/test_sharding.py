@@ -55,7 +55,15 @@ def make_batch(b, seed=0):
             jnp.asarray(gt))
 
 
-@pytest.mark.parametrize("n_dp,n_cp", [(8, 1), (4, 2), (2, 4)])
+# one mesh shape in the fast tier keeps sharded-vs-single parity covered on
+# every inner-loop run; the other two shapes (same code path, different
+# partitioning) each cost a full mesh-specific compile and run in the slow
+# tier / CI sweep
+@pytest.mark.parametrize(
+    "n_dp,n_cp",
+    [pytest.param(8, 1, marks=pytest.mark.slow),
+     pytest.param(4, 2, marks=pytest.mark.slow),
+     (2, 4)])
 def test_sharded_step_matches_single_device(n_dp, n_cp):
     if len(jax.devices()) < n_dp * n_cp:
         pytest.skip("needs 8 virtual devices")

@@ -58,10 +58,15 @@ def test_streaming_flow_and_ego():
 
 
 def test_streaming_reset():
+    # reset semantics don't need realistic geometry — a minimal config keeps
+    # this fast-tier test from paying the full streaming-program compile
     rng = np.random.default_rng(1)
+    cfg = CFG.replace(max_points_scene=4096, max_points=512, num_clusters=16,
+                      max_pairs=32, pairs_small=32, pairs_large=4,
+                      nn_tile=256, hist_grid_xy=64, ego_map_capacity=8192)
+    eng = StreamingEngine(cfg, estimate_ego=False)
     ground, wall, car = make_world(rng)
-    eng = StreamingEngine(CFG, estimate_ego=False)
-    scan = np.concatenate([ground, wall, car]).astype(np.float32)
+    scan = np.concatenate([ground[:1600], wall[:1200], car]).astype(np.float32)
     assert eng.process(scan) is None
     assert eng.process(scan) is not None
     eng.reset()
