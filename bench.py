@@ -438,7 +438,6 @@ def main():
             max_iters=cfg.icp_max_iters, tile=cfg.nn_tile,
             patience=cfg.icp_patience, stall_rel=cfg.icp_stall_rel,
             corr_cap=cfg.icp_corr_cap, shrink=cfg.icp_shrink,
-            inner=cfg.icp_inner,
             init_margin_rel=cfg.icp_init_margin_rel).compile()),
         ("exact_knn@hdbscan", lambda: (
             _cluster.exact_knn_mutual_reachability.lower(
@@ -676,8 +675,7 @@ def main():
                                    stall_rel=cfg.icp_stall_rel,
                                    corr_cap=cfg.icp_corr_cap,
                                    shrink=cfg.icp_shrink,
-                                   inner=cfg.icp_inner,
-                                   init_margin_rel=cfg.icp_init_margin_rel)
+                                                          init_margin_rel=cfg.icp_init_margin_rel)
                 return _chain_fold(x, T[:, :3, 3][:, None, :]), T
 
             kern[f"icp_{name}"] = chain_time(

@@ -150,15 +150,6 @@ class PipelineConfig:
     # are not wrongly rolled back (an absolute 5 mm margin was).
     icp_init_margin: float = 0.0
     icp_init_margin_rel: float = 0.02
-    # fixed-correspondence inner solves per NN sweep (ops/icp.py icp_core):
-    # after each sweep's Kabsch solve, the correspondences are held fixed,
-    # re-gated by distance under the updated pose, and re-solved
-    # (icp_inner - 1) extra times. The sweep is the whole iteration cost;
-    # near convergence the pose moves far less than a correspondence
-    # changes, so each sweep advances like ~icp_inner reference iterations
-    # and the latch freezes pairs in proportionally fewer sweeps. 1 = the
-    # reference's one-solve-per-sweep loop.
-    icp_inner: int = 1
     # coarse-to-fine ICP (ops/icp.py icp_core): the first icp_coarse_iters
     # sweeps gate correspondences at thres_dist * icp_coarse_scale. A
     # histogram init can land a few tenths of a metre off (cluster-

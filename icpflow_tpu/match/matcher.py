@@ -83,7 +83,6 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
         tile=cfg.nn_tile,
         patience=cfg.icp_patience, stall_rel=cfg.icp_stall_rel,
         corr_cap=cfg.icp_corr_cap, shrink=cfg.icp_shrink,
-        inner=cfg.icp_inner,
         coarse_iters=cfg.icp_coarse_iters,
         coarse_scale=cfg.icp_coarse_scale,
         init_margin=cfg.icp_init_margin,

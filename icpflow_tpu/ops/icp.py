@@ -42,7 +42,7 @@ class _IcpState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "tile", "patience",
-                     "stall_rel", "corr_cap", "shrink", "inner",
+                     "stall_rel", "corr_cap", "shrink",
                      "coarse_iters", "coarse_scale"))
 def icp_core(
     src: jnp.ndarray,
@@ -58,7 +58,6 @@ def icp_core(
     stall_rel: float = 1e-4,
     corr_cap: int = 0,
     shrink: int = 0,
-    inner: int = 1,
     coarse_iters: int = 0,
     coarse_scale: float = 3.0,
 ) -> jnp.ndarray:
@@ -73,19 +72,6 @@ def icp_core(
     from k strided correspondences matches the full-set pose to O(1/sqrt(k))
     (the NN sweep is the entire iteration cost and scales with the query
     count); the dst side and every downstream evaluation stay complete.
-
-    ``inner`` > 1 reuses each NN sweep for that many Kabsch solves: after
-    the sweep's solve, the correspondences are held FIXED and re-gated by
-    the distance of the updated pose's points to their fixed partners, and
-    the solve repeats (``inner - 1`` extra times). The sweep is the entire
-    iteration cost (the extra solves are a handful of (B,n,3) elementwise
-    ops + a 3x3 Jacobi), while near convergence the pose moves far less
-    than a correspondence changes — so each sweep advances the pose as far
-    as ~``inner`` reference iterations. This is the classic fixed-
-    correspondence inner relaxation; the per-pair latch still counts SWEEPS
-    (its patience semantics are unchanged) and the rmse it tracks is the
-    post-inner-solve inlier rmse against the fixed partners — the same
-    quantity the single-solve loop tracked, one inner step later.
 
     ``coarse_iters`` > 0 runs the first that many sweeps with the inlier
     gate widened to ``thres * coarse_scale`` (classic coarse-to-fine ICP).
@@ -142,18 +128,7 @@ def icp_core(
         thr = jnp.where(fine, thres, thres * coarse_scale) \
             if coarse_iters else thres
         inlier = (dist <= thr) & src_mask
-        # a finite sweep distance marks a REAL correspondence (dist ~1e15 and
-        # nn_pts == 0 where no dst is valid) — the inner re-gate below must
-        # not let a point near the origin "match" such a zero partner
-        has_nn = (dist < 1e9) & src_mask
         R, t = geo.kabsch(src, nn_pts, inlier)
-        for _ in range(inner - 1):
-            # fixed-correspondence refinement: re-gate inliers by distance
-            # to the SAME nn partners under the new pose, re-solve. No sweep.
-            moved_i = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
-            d_i = jnp.sqrt(jnp.sum((moved_i - nn_pts) ** 2, axis=-1))
-            inlier = (d_i <= thr) & has_nn
-            R, t = geo.kabsch(src, nn_pts, inlier)
         moved2 = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
         sq = jnp.sum((moved2 - nn_pts) ** 2, axis=-1)
         w = inlier.astype(f32)
@@ -251,7 +226,7 @@ def icp_core(
 @functools.partial(
     jax.jit,
     static_argnames=("thres", "max_iters", "tile", "patience",
-                     "stall_rel", "corr_cap", "shrink", "inner",
+                     "stall_rel", "corr_cap", "shrink",
                      "coarse_iters", "coarse_scale"))
 def apply_icp(
     src: jnp.ndarray,
@@ -268,7 +243,6 @@ def apply_icp(
     stall_rel: float = 1e-4,
     corr_cap: int = 0,
     shrink: int = 0,
-    inner: int = 1,
     coarse_iters: int = 0,
     coarse_scale: float = 3.0,
     init_margin: float = 0.0,
@@ -298,7 +272,7 @@ def apply_icp(
                    thres=thres, max_iters=max_iters,
                    tile=tile, patience=patience,
                    stall_rel=stall_rel, corr_cap=corr_cap, shrink=shrink,
-                   inner=inner, coarse_iters=coarse_iters,
+                   coarse_iters=coarse_iters,
                    coarse_scale=coarse_scale)
     rts = geo.compose(rts, init_poses)
 

@@ -158,27 +158,9 @@ def test_icp_shrink_tail_compaction_is_bit_identical():
     np.testing.assert_array_equal(T_plain, T_shrunk)
 
 
-def test_icp_inner_recovers_transform_and_inner1_is_baseline():
-    # inner=1 must be bit-identical to the pre-knob loop (the inner loop
-    # unrolls zero times); inner>1 must still recover the same transform on
-    # a clean rigid case (fixed-correspondence refinement is convergent).
-    rng = np.random.default_rng(5)
-    R = rot_z(4.0)
-    t = np.array([0.05, -0.04, 0.01], np.float32)
-    s, d, m = make_case(rng, 400, R, t, 512)
-    args = (jnp.asarray(s)[None], jnp.asarray(m)[None],
-            jnp.asarray(d)[None], jnp.asarray(m)[None])
-    T1 = np.asarray(icp_core(*args, thres=0.3, tile=128, inner=1))
-    T_default = np.asarray(icp_core(*args, thres=0.3, tile=128))
-    np.testing.assert_array_equal(T1, T_default)
-    T3 = np.asarray(icp_core(*args, thres=0.3, tile=128, inner=3))[0]
-    np.testing.assert_allclose(T3[:3, :3], R, atol=2e-3)
-    np.testing.assert_allclose(T3[:3, 3], t, atol=2e-2)
-
-
-def test_icp_inner_no_valid_dst_stays_identity():
+def test_icp_no_valid_dst_stays_identity():
     # all-dst-invalid pairs must not "match" the zero-filled nn partners
-    # inside the inner re-gate (the has_nn guard)
+    # (their sweep distances are ~1e15, outside every inlier gate)
     rng = np.random.default_rng(6)
     s = rng.uniform(-0.05, 0.05, size=(1, 64, 3)).astype(np.float32)
     d = np.zeros((1, 64, 3), np.float32)
@@ -186,7 +168,7 @@ def test_icp_inner_no_valid_dst_stays_identity():
     md = np.zeros((1, 64), bool)
     T = np.asarray(icp_core(jnp.asarray(s), jnp.asarray(ms),
                             jnp.asarray(d), jnp.asarray(md),
-                            thres=0.3, tile=64, inner=3, max_iters=8))[0]
+                            thres=0.3, tile=64, max_iters=8))[0]
     np.testing.assert_allclose(T, np.eye(4), atol=1e-6)
 
 
