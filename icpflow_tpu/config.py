@@ -233,6 +233,10 @@ class PipelineConfig:
     # --- ego motion (utils_ego_motion.py / config_kiss_icp.yaml) ---
     use_kiss_icp: bool = False
     ego_voxel_size: float = 0.64     # max_range / 100, kiss-icp default rule
+    # map points kept per voxel (kiss-icp max_points_per_voxel = 20): a
+    # 1-point-per-voxel map has a half-voxel NN floor that buries the
+    # rotation signal — see ops/ego.py voxel_downsample_mask
+    ego_map_per_voxel: int = 20
     ego_max_range: float = 64.0
     ego_min_range: float = 1.0
     ego_map_capacity: int = 262144
@@ -242,13 +246,18 @@ class PipelineConfig:
     ego_src_capacity: int = 16384
     ego_initial_threshold: float = 2.0
     ego_min_motion_th: float = 0.1
-    # tight-radius refinement pass after the adaptive-threshold
+    # graduated tight-radius refinement after the adaptive-threshold
     # registration (framework extension beyond kiss-icp — see ops/ego.py):
     # the adaptive threshold cannot fall below the last deviation that
-    # cleared min_motion_th, so on well-predicted sequences the gate stays
-    # metres wide and far self-similar structure keeps ~cm of bias in the
-    # solve. 0 disables (exact kiss-icp schedule).
-    ego_refine_sigma: float = 0.1
+    # cleared min_motion_th, so the gate stays metres wide; movers inside
+    # the wide gate can drag the solve into a spurious yaw (traced on the
+    # heldout scene: 1-4 deg with no GT rotation), and a single tight pass
+    # cannot remove yaw because the far-range witnesses of rotation sit
+    # outside its gate (1.2 deg = 0.65 m at 32 m). The decreasing schedule
+    # first suppresses movers with the GM kernel while keeping far static
+    # structure in gate (yaw corrected), then polishes on near surfaces.
+    # () disables (exact kiss-icp schedule).
+    ego_refine_sigmas: tuple = (1.0, 0.3, 0.1)
     # registration iteration cap (kiss-icp MAX_NUM_ITERATIONS_ = 500; the
     # loop is convergence-terminated, the cap only bounds failure cases)
     ego_max_iters: int = 500
@@ -296,8 +305,8 @@ _HOST_ONLY_CANONICAL = dict(
     hdbscan_cell_cap=0, hdbscan_exact=False, hdbscan_reclaim=0.0,
     hdbscan_dedup_voxel=0.0, hdbscan_rep_cap=0,
     ego_voxel_size=0.0, ego_max_range=0.0, ego_min_range=0.0,
-    ego_map_capacity=0, ego_src_capacity=0,
-    ego_initial_threshold=0.0, ego_min_motion_th=0.0, ego_refine_sigma=0.0,
+    ego_map_capacity=0, ego_src_capacity=0, ego_map_per_voxel=0,
+    ego_initial_threshold=0.0, ego_min_motion_th=0.0, ego_refine_sigmas=(),
     ego_max_iters=0,
 )
 

@@ -36,9 +36,19 @@ from . import geometry as geo
 from . import knn as _knn
 
 
-@functools.partial(jax.jit, static_argnames=("voxel",))
-def voxel_downsample_mask(xyz, valid, *, voxel: float):
-    """Mark the first point of each occupied voxel (static-shape dedup)."""
+@functools.partial(jax.jit, static_argnames=("voxel", "per_voxel"))
+def voxel_downsample_mask(xyz, valid, *, voxel: float, per_voxel: int = 1):
+    """Mark the first ``per_voxel`` points of each occupied voxel.
+
+    ``per_voxel=1`` is a plain dedup (registration-source downsample);
+    the local map uses kiss-icp's max_points_per_voxel=20 semantics — a
+    1-point-per-voxel map has a half-voxel NN residual floor (measured
+    p50 = 0.31 m at voxel 0.64) that drowns the rotation signal sensor
+    noise would otherwise carry (VoxelHashMap keeps up to 20 points per
+    voxel so correspondences bottom out at noise level).
+    The sort is stable, so earlier buffer positions win the per-voxel
+    slots (map update relies on this: old map points precede the new scan).
+    """
     n = xyz.shape[0]
     cell = jnp.floor(xyz / voxel).astype(jnp.int32)
     cmin = jnp.min(jnp.where(valid[:, None], cell, 2 ** 20), axis=0)
@@ -47,11 +57,17 @@ def voxel_downsample_mask(xyz, valid, *, voxel: float):
     cc = cell - cmin
     ids = (cc[:, 0] * span[1] + cc[:, 1]) * span[2] + cc[:, 2]
     ids = jnp.where(valid, ids, jnp.int32(2 ** 30))
-    order = jnp.argsort(ids)
+    order = jnp.argsort(ids, stable=True)
     ids_s = ids[order]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
-    keep_sorted = first & (ids_s < 2 ** 30)
+    if per_voxel == 1:
+        keep_sorted = first & (ids_s < 2 ** 30)
+    else:
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        run_start = jax.lax.cummax(jnp.where(first, idxs, 0))
+        rank = idxs - run_start
+        keep_sorted = (rank < per_voxel) & (ids_s < 2 ** 30)
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep & valid
 
@@ -71,29 +87,76 @@ def register_frame_icp(source, source_valid, map_pts, map_valid,
     stalls on turning motion: self-similar ground/wall correspondences make
     per-iteration progress small, so convergence — not a round number —
     must terminate the loop.
+
+    DOF schedule + residual-quantile selection (framework extension beyond
+    kiss-icp): a translation-only phase (rotation frozen at the initial
+    guess) runs to its own fixpoint, the full-DOF loop continues from
+    there, and the returned pose is whichever of the two scores the lower
+    75th-percentile source residual. Rationale, traced on the heldout
+    scene: under a wide adaptive kernel, a mover tracking near ego velocity
+    carries high GM weight on a long lever arm and torques the full solve
+    into a rotation-aliased local minimum of self-similar structure
+    (1.5-5 deg spurious yaw on a translation-only GT, basin chosen by
+    backend rounding). The aliased pose re-registers surface interiors at
+    a ~half-sample-spacing residual floor, while the true pose reaches the
+    noise floor — a robust residual quantile separates them. For genuinely
+    rotating motion the full-DOF pose wins the comparison (the frozen
+    rotation leaves structure at range off by the unmodelled yaw), so the
+    selection only rejects rotations the data does not support.
     """
-    def body(state):
-        pose, _, it = state
-        moved = geo.transform_points_batch(source[None], pose[None])[0]
-        idx, dist = _knn.masked_nn(moved[None], map_pts[None],
-                                   map_valid[None], tile=tile)
-        idx, dist = idx[0], dist[0]
-        nn = map_pts[idx]
-        w_gm = (kernel ** 2 / (kernel ** 2 + dist ** 2)) ** 2
-        w = jnp.where((dist <= max_dist) & source_valid, w_gm, 0.0)
-        R, t = geo.kabsch(source[None], nn[None], w[None])
-        new_pose = geo.rt_to_mat(R, t)[0]
-        delta = (jnp.linalg.norm(new_pose[:3, 3] - pose[:3, 3])
-                 + jnp.linalg.norm(new_pose[:3, :3] - pose[:3, :3]))
-        return new_pose, delta, it + 1
+    def make_body(full_dof):
+        def body(state):
+            pose, _, it = state
+            moved = geo.transform_points_batch(source[None], pose[None])[0]
+            idx, dist = _knn.masked_nn(moved[None], map_pts[None],
+                                       map_valid[None], tile=tile,
+                                       exact=True)
+            idx, dist = idx[0], dist[0]
+            nn = map_pts[idx]
+            w_gm = (kernel ** 2 / (kernel ** 2 + dist ** 2)) ** 2
+            w = jnp.where((dist <= max_dist) & source_valid, w_gm, 0.0)
+            if full_dof:
+                R, t = geo.kabsch(source[None], nn[None], w[None])
+                new_pose = geo.rt_to_mat(R, t)[0]
+            else:
+                # rotation frozen: weighted-centroid translation update of
+                # R0 @ src + t ~= nn  =>  t = mean_w(nn - R0 @ src)
+                R0 = initial_guess[:3, :3]
+                rs = source @ R0.T
+                denom = jnp.maximum(jnp.sum(w), 1e-9)
+                t = jnp.sum((nn - rs) * w[:, None], axis=0) / denom
+                new_pose = pose.at[:3, :3].set(R0).at[:3, 3].set(t)
+            delta = (jnp.linalg.norm(new_pose[:3, 3] - pose[:3, 3])
+                     + jnp.linalg.norm(new_pose[:3, :3] - pose[:3, :3]))
+            return new_pose, delta, it + 1
+        return body
 
     def cond(state):
         _, delta, it = state
         return (delta > 1e-4) & (it < iters)
 
-    pose, _, _ = jax.lax.while_loop(
-        cond, body, (initial_guess, jnp.float32(1e9), jnp.int32(0)))
-    return pose
+    def score(pose):
+        # saturated robust cost, fixed 0.1 m kernel: movers (residuals
+        # >> 0.1 under BOTH candidates) saturate to ~1 and cancel out of
+        # the comparison, while static structure — at the sensor-noise
+        # floor under the true pose vs the ~half-sample-spacing aliasing
+        # floor under a spurious rotation — dominates the difference. (A
+        # p75 residual quantile failed here: the rotation-symmetric ground
+        # majority pushes every quantile below the structure that witnesses
+        # yaw.)
+        moved = geo.transform_points_batch(source[None], pose[None])[0]
+        _, dist = _knn.masked_nn(moved[None], map_pts[None],
+                                 map_valid[None], tile=tile, exact=True)
+        d2 = jnp.square(dist[0])
+        rho = d2 / (0.01 + d2)
+        return jnp.sum(jnp.where(source_valid, rho, 0.0))
+
+    pose_t, _, _ = jax.lax.while_loop(
+        cond, make_body(False), (initial_guess, jnp.float32(1e9),
+                                 jnp.int32(0)))
+    pose_f, _, _ = jax.lax.while_loop(
+        cond, make_body(True), (pose_t, jnp.float32(1e9), jnp.int32(0)))
+    return jnp.where(score(pose_f) <= score(pose_t), pose_f, pose_t)
 
 
 class EgoOdometry:
@@ -179,18 +242,19 @@ class EgoOdometry:
                 jsb, jsv, jmap, jmv,
                 jnp.asarray(initial), jnp.float32(3.0 * sigma),
                 jnp.float32(sigma / 3.0), iters=cfg.ego_max_iters))
-            if cfg.ego_refine_sigma > 0:
-                # tight-radius refinement (framework extension beyond
-                # kiss-icp, docs/ARCHITECTURE.md): the adaptive threshold
-                # cannot fall below the LAST prediction deviation that
-                # cleared min_motion_th, so on well-predicted sequences the
-                # gate stays metres wide and far self-similar structure
-                # keeps ~cm of bias in the solve. One more registration at a
-                # fixed tight radius (same robust kernel shape) polishes the
-                # pose using only near-surface correspondences; with the
-                # wide-gate pose as its init it cannot diverge (same
-                # convergence-terminated loop).
-                s2 = cfg.ego_refine_sigma
+            for s2 in cfg.ego_refine_sigmas:
+                # graduated refinement (framework extension beyond kiss-icp,
+                # docs/ARCHITECTURE.md): the adaptive threshold cannot fall
+                # below the LAST prediction deviation that cleared
+                # min_motion_th, so the gate stays metres wide — movers
+                # inside it drag the solve into spurious yaw (traced: up to
+                # 3.8 deg on a translation-only GT), and far self-similar
+                # structure keeps ~cm of translation bias. Re-registering at
+                # a DECREASING sigma schedule first crushes mover weights
+                # (GM kernel) while far static points — the only witnesses
+                # of yaw — stay in gate, then polishes translation on near
+                # surfaces. Each pass starts from the previous pose, same
+                # convergence-terminated loop, so it cannot diverge.
                 pose = np.asarray(register_frame_icp(
                     jsb, jsv, jmap, jmv,
                     jnp.asarray(pose), jnp.float32(3.0 * s2),
@@ -228,7 +292,7 @@ class EgoOdometry:
         dvalid[:nd] = True
         keep = np.asarray(voxel_downsample_mask(
             jnp.asarray(dbuf), jnp.asarray(dvalid),
-            voxel=cfg.ego_voxel_size))
+            voxel=cfg.ego_voxel_size, per_voxel=cfg.ego_map_per_voxel))
         kept = dbuf[keep][:capn]                   # dedup THEN truncate
         mbuf = np.zeros((capn, 3), np.float32)
         mbuf[: len(kept)] = kept

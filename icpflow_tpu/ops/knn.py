@@ -38,8 +38,15 @@ def masked_nn(
     dst: jnp.ndarray,
     dst_mask: jnp.ndarray,
     tile: int = 2048,
+    exact: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """For each src point, index and euclidean distance of nearest valid dst.
+
+    ``exact`` forces the scan-tiled path with ELEMENTWISE squared distances
+    (no matmul-form cancellation; see _masked_nn_xla) — used by the ego
+    odometry, whose registration accuracy sits at the cancellation noise
+    floor. Default keeps the MXU/Pallas forms the matcher guardrails are
+    pinned on.
 
     Dispatches to the fused Pallas kernel on TPU backends (VMEM-resident
     distance blocks, see `ops/pallas/nn_kernel.py`); the scan-tiled XLA path
@@ -56,6 +63,8 @@ def masked_nn(
     """
     m = dst.shape[1]
     n = src.shape[1]
+    if exact:
+        return _masked_nn_xla(src, dst, dst_mask, tile=tile, exact=True)
     # VMEM guard: the kernel keeps the whole dst row resident per batch;
     # very large dst (e.g. the ego odometry map buffer) stays on the XLA path.
     if jax.default_backend() == "tpu" and 128 <= m <= 8192:
@@ -110,12 +119,13 @@ def masked_nn_points(
     return pts, dist
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "exact"))
 def _masked_nn_xla(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     dst_mask: jnp.ndarray,
     tile: int = 2048,
+    exact: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, n, _ = src.shape
     m = dst.shape[1]
@@ -132,11 +142,24 @@ def _masked_nn_xla(
     def step(carry, inp):
         best_d, best_i, t0 = carry
         d_tile, m_tile = inp                                   # (B,tile,3),(B,tile)
-        cross = jnp.einsum("bnd,bmd->bnm", src, d_tile,
-                           precision=jax.lax.Precision.HIGHEST)
-        d_sq = (src_sq[:, :, None]
-                - 2.0 * cross
-                + jnp.sum(d_tile * d_tile, axis=-1)[:, None, :])
+        if exact:
+            # elementwise squared distances: the matmul form below loses
+            # ~1e-3 absolute in d^2 to cancellation at +-60 m coordinates
+            # (||a||^2 and ||b||^2 are ~4e3 while d^2 is ~1e-2), which is
+            # comparable to candidate separations on dense surfaces — the
+            # resulting NN flips land robust-IRLS registration in different
+            # (backend-dependent) basins. 3x the FLOPs, no MXU, exact to
+            # f32 rounding of the difference — required by the odometry
+            # path (ops/ego.py), whose mm-level pose accuracy sits exactly
+            # at that noise floor.
+            diff = src[:, :, None, :] - d_tile[:, None, :, :]
+            d_sq = jnp.sum(diff * diff, axis=-1)
+        else:
+            cross = jnp.einsum("bnd,bmd->bnm", src, d_tile,
+                               precision=jax.lax.Precision.HIGHEST)
+            d_sq = (src_sq[:, :, None]
+                    - 2.0 * cross
+                    + jnp.sum(d_tile * d_tile, axis=-1)[:, None, :])
         d_sq = jnp.where(m_tile[:, None, :], d_sq, _BIG)
         tile_min = jnp.min(d_sq, axis=2)
         tile_arg = jnp.argmin(d_sq, axis=2).astype(jnp.int32) + t0
