@@ -184,14 +184,10 @@ class DatasetPCA(PrefetchIterMixin):
                 lab = _hdb(jnp.asarray(pts_p), jnp.asarray(valid_p & ngp),
                            cfg)[: len(both)]
             else:
-                lab = np.asarray(dbscan(
+                from ..models.icp_flow import _joint_dbscan
+                lab = np.asarray(_joint_dbscan(
                     jnp.asarray(pts_p), jnp.asarray(valid_p & ngp),
-                    eps=cfg.epsilon, min_points=cfg.min_cluster_size,
-                    num_clusters=cfg.num_clusters,
-                    cell_cap=cfg.cluster_cell_cap,
-                    max_iters=cfg.cluster_max_iters,
-                    eps_scale_per_m=cfg.eps_scale_per_m,
-                    eps_max=cfg.eps_max))[: len(both)]
+                    cfg))[: len(both)]
             lab = lab.astype(np.int64)
             lab[~ng] = GROUND_LABEL
             out.append({

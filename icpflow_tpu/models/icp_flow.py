@@ -50,6 +50,20 @@ class FusedPairOutput(NamedTuple):
     lab_dst: jnp.ndarray      # (N_dst,) int32
 
 
+def _joint_dbscan(pts, valid, cfg: PipelineConfig):
+    """Config-routed clusterer: raw-cloud dbscan, or the voxel-dedup form
+    (cluster_dedup_voxel > 0) with weighted counts + in-graph fallback."""
+    kw = dict(eps=cfg.epsilon, min_points=cfg.min_cluster_size,
+              num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
+              max_iters=cfg.cluster_max_iters,
+              eps_scale_per_m=cfg.eps_scale_per_m, eps_max=cfg.eps_max)
+    if cfg.cluster_dedup_voxel > 0:
+        return _cluster.dbscan_dedup(
+            pts, valid, dedup_voxel=cfg.cluster_dedup_voxel,
+            rep_cap=cfg.cluster_rep_cap, **kw)
+    return _cluster.dbscan(pts, valid, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _run_pair_fused_impl(pts_src, valid_src, pts_dst, valid_dst,
                          translation_frame, pose,
@@ -61,12 +75,7 @@ def _run_pair_fused_impl(pts_src, valid_src, pts_dst, valid_dst,
     the stage boundaries."""
     pts = jnp.concatenate([pts_dst, pts_src], axis=0)
     valid = jnp.concatenate([valid_dst, valid_src], axis=0)
-    labels = _cluster.dbscan(
-        pts, valid,
-        eps=cfg.epsilon, min_points=cfg.min_cluster_size,
-        num_clusters=cfg.num_clusters, cell_cap=cfg.cluster_cell_cap,
-        max_iters=cfg.cluster_max_iters,
-        eps_scale_per_m=cfg.eps_scale_per_m, eps_max=cfg.eps_max)
+    labels = _joint_dbscan(pts, valid, cfg)
     n0 = pts_dst.shape[0]
     lab_dst = labels[:n0]
     lab_src = labels[n0:].astype(jnp.int32)
@@ -138,14 +147,7 @@ class SceneFlowEngine:
             from ..ops.hdbscan import hdbscan
             labels = jnp.asarray(hdbscan(pts, valid, cfg))
         else:
-            labels = _cluster.dbscan(
-                pts, valid,
-                eps=cfg.epsilon, min_points=cfg.min_cluster_size,
-                num_clusters=cfg.num_clusters,
-                cell_cap=cfg.cluster_cell_cap,
-                max_iters=cfg.cluster_max_iters,
-                eps_scale_per_m=cfg.eps_scale_per_m,
-                eps_max=cfg.eps_max)
+            labels = _joint_dbscan(pts, valid, cfg)
         n0 = pts_dst.shape[0]
         return labels[:n0], labels[n0:]
 

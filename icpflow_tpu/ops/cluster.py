@@ -71,6 +71,7 @@ _NBR9.sort(key=lambda o: (o != (0, 0), o))
 def dbscan(
     xyz: jnp.ndarray,
     valid: jnp.ndarray,
+    mult: jnp.ndarray | None = None,
     *,
     eps: float = 0.25,
     min_points: int = 30,
@@ -88,6 +89,11 @@ def dbscan(
     ``range_cap``: candidate cap per contiguous 3-z-cell run (default
     ``2 * cell_cap``; a lidar z column rarely occupies more than two cells, so
     this preserves the per-cell sampling budget of the 27-cell formulation).
+    ``mult``: optional (N,) int32 point multiplicities (voxel-dedup
+    representatives, see ``dbscan_dedup``): neighbor counts and cluster-size
+    ranking weight each candidate by its multiplicity, reproducing raw-cloud
+    density on the deduplicated cloud. None = all-ones (bit-identical to the
+    unweighted path).
     """
     n = xyz.shape[0]
     f32 = jnp.float32
@@ -120,6 +126,9 @@ def dbscan(
     eps_s = eps_pt[order]
     valid_s = valid[order]
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    weighted = mult is not None
+    mult_s = (jnp.where(valid_s, mult[order], 0).astype(jnp.int32)
+              if weighted else None)
 
     # --- 3a. candidate boundaries, hoisted out of the tile loop ----------
     # Boundary queries are answered from a DENSE exclusive-prefix table over
@@ -187,10 +196,13 @@ def dbscan(
         blk = 64
         width = ((blk + rcap + blk - 1) // blk) * blk   # row coverage
         nb = -(-n // blk)
-        xyz_sp = jnp.pad(xyz_s, ((0, nb * blk + width - n), (0, 0)))
+        ch = 4 if weighted else 3
+        xyzm_s = (jnp.concatenate([xyz_s, mult_s[:, None].astype(f32)], 1)
+                  if weighted else xyz_s)
+        xyz_sp = jnp.pad(xyzm_s, ((0, nb * blk + width - n), (0, 0)))
         blocks = jnp.concatenate(
-            [xyz_sp[o:o + nb * blk].reshape(nb, blk, 3)
-             for o in range(0, width, blk)], axis=1)              # (nb,W,3)
+            [xyz_sp[o:o + nb * blk].reshape(nb, blk, ch)
+             for o in range(0, width, blk)], axis=1)              # (nb,W,ch)
         starts_pad = jnp.pad(starts_all, ((0, pad_tile), (0, 0)),
                              constant_values=n)
         tots_pad = jnp.pad(tots_all, ((0, pad_tile), (0, 0)))
@@ -206,7 +218,8 @@ def dbscan(
 
             st_c = jnp.clip(st, 0, jnp.int32(n))
             bi = jnp.minimum(st_c // blk, nb - 1)                 # (T,9)
-            g = blocks[bi]                                        # (T,9,W,3)
+            gm = blocks[bi]                                       # (T,9,W,ch)
+            g = gm[..., :3]
             k = jnp.arange(width, dtype=jnp.int32)
             pos = bi[:, :, None] * blk + k[None, None, :]         # (T,9,W)
             ok = ((pos >= st[:, :, None])
@@ -225,12 +238,14 @@ def dbscan(
             within = jax.lax.optimization_barrier(within)
 
             # unbiased neighbor count under the run cap: rescale each run's
-            # sampled within-count by its total/sampled ratio
+            # sampled within-count by its total/sampled ratio. Weighted form
+            # sums candidate multiplicities instead of counting candidates
+            # (the rescale stays unbiased: runs are sampled uniformly).
             totf = tt.astype(f32)
             scale = totf / jnp.maximum(jnp.minimum(totf, rcap), 1.0)
-            count = jnp.round(jnp.sum(
-                jnp.sum(within, axis=2).astype(f32) * scale, axis=1)
-            ).astype(jnp.int32)
+            hits = (jnp.sum(jnp.where(within, gm[..., 3], 0.0), axis=2)
+                    if weighted else jnp.sum(within, axis=2).astype(f32))
+            count = jnp.round(jnp.sum(hits * scale, axis=1)).astype(jnp.int32)
 
             # compact to fixed-degree edges: the FIRST within-eps candidate
             # of every (dx, dy) run. Within a cell the sorted order is
@@ -463,8 +478,12 @@ def dbscan(
     label = jnp.where(core, label,
                       jnp.where(valid_s & (border_lab < n), border_lab, n))
 
-    # --- 6. size-ranked top-K relabelling --------------------------------
-    sizes = jnp.bincount(jnp.minimum(label, n), length=n + 1)[:n]
+    # --- 6. size-ranked top-K relabelling (weighted: size = raw points) --
+    if weighted:
+        sizes = jnp.zeros((n + 1,), jnp.int32).at[
+            jnp.minimum(label, n)].add(mult_s)[:n]
+    else:
+        sizes = jnp.bincount(jnp.minimum(label, n), length=n + 1)[:n]
     c = min(num_clusters, n)
     _, top_roots = jax.lax.top_k(sizes, c)
     keep = sizes[top_roots] > 0
@@ -476,6 +495,51 @@ def dbscan(
     # --- back to original point order ------------------------------------
     out = jnp.full((n,), -1, jnp.int32).at[order].set(final_s)
     return jnp.where(valid, out, -1)
+
+
+def dbscan_dedup(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    dedup_voxel: float,
+    rep_cap: int,
+    **dbscan_kw,
+) -> jnp.ndarray:
+    """DBSCAN on voxel-dedup representatives; labels broadcast per point.
+
+    The hdbscan speedup applied to the default clusterer: points sharing a
+    fine voxel (diameter < eps: ``dedup_voxel`` must satisfy
+    ``dedup_voxel * sqrt(3) < eps``) collapse to one representative point
+    carrying an integer multiplicity; the weighted ``dbscan`` counts raw
+    points, so core/border decisions and size ranking keep raw-cloud
+    semantics while every per-point stage runs at the representative
+    bucket (demo joint cloud: 126.6k -> 35.7k reps at 0.12 m, dedup cost
+    1.2 ms). Scenes whose occupied-voxel count exceeds ``rep_cap`` take
+    the full-cloud path via ``lax.cond`` — counted, never truncated.
+
+    Approximation note (same as the hdbscan dedup, config.py
+    ``hdbscan_dedup_voxel``): a raw point can sit up to half a voxel
+    diagonal from its representative, so the effective eps wobbles by
+    +-dedup_voxel*sqrt(3)/2 at cluster boundaries.
+    """
+    eps_floor = dbscan_kw.get("eps", 0.25)
+    if dedup_voxel * 1.7320509 >= eps_floor:
+        raise ValueError(
+            f"cluster_dedup_voxel={dedup_voxel} too coarse for eps="
+            f"{eps_floor}: points in one voxel must be mutually within eps "
+            f"(voxel * sqrt(3) < eps)")
+    rep_xyz, rep_valid, rep_mult, point_rep, n_unique = voxel_dedup_compact(
+        xyz, valid, voxel=dedup_voxel, cap=rep_cap)
+
+    def on_reps(_):
+        lab_r = dbscan(rep_xyz, rep_valid, rep_mult, **dbscan_kw)
+        lab_pad = jnp.concatenate([lab_r, jnp.full((1,), -1, jnp.int32)])
+        return lab_pad[jnp.minimum(point_rep, rep_cap)]
+
+    def on_full(_):
+        return dbscan(xyz, valid, **dbscan_kw)
+
+    return jax.lax.cond(n_unique <= rep_cap, on_reps, on_full, operand=None)
 
 
 def _mre_level(xyz, valid, *, k_core: int, edges_per_point: int,

@@ -33,10 +33,8 @@ def device_metrics(flow_dev, gt_dev, valid):
 
 
 def main():
-    cfg = DEMO.replace(
-        max_points_scene=131072, max_points=4096, num_clusters=200,
-        min_cluster_size=20, nn_tile=256, hist_grid_xy=128, icp_max_iters=100,
-        epsilon=0.6, eps_scale_per_m=0.012, eps_max=0.8)
+    from bench import make_cfg
+    cfg = make_cfg()
     data = load_demo_npz("/root/reference/demo.npz")
     engine = SceneFlowEngine(cfg)
     p_src, v_src = engine.pad_cloud(data["point_src"])

@@ -19,10 +19,12 @@ def make_pca_npz(path, num_frames=2, seed=0):
     def box(center, size, n):
         return center + rng.uniform(-0.5, 0.5, (n, 3)) * size
 
-    # static world + one mover, in "world" coordinates at frame 0
-    ground = box([0, 0, -0.1], [50, 50, 0.1], 4000)
-    wall = box([0, 12, 1.2], [40, 0.3, 2.0], 4000)
-    car = box([-5, -4, 0.8], [4.2, 1.8, 1.5], 1500)
+    # static world + one mover, in "world" coordinates at frame 0.
+    # Sized to fit a 4096-point frame bucket: the fast tier pays the full
+    # engine compile for this config, and compile cost tracks bucket size.
+    ground = box([0, 0, -0.1], [50, 50, 0.1], 1600)
+    wall = box([0, 12, 1.2], [40, 0.3, 2.0], 1400)
+    car = box([-5, -4, 0.8], [4.2, 1.8, 1.5], 800)
     car_v = np.array([1.5, 0.2, 0.0])          # per-frame motion
     ego_v = np.array([0.8, 0.0, 0.0])          # ego motion per frame
 
@@ -82,9 +84,9 @@ def test_cli_pca_end_to_end(pca_root, capsys):
         "--epsilon", "0.4", "--speed", "1.67", "--max_points", "1024",
     ])
     cfg = cli.config_from_args(args)
-    cfg = cfg.replace(max_points_scene=16384, max_pairs=64,
-                      pairs_small=64, pairs_large=8, nn_tile=512,
-                      hist_grid_xy=128)
+    cfg = cfg.replace(max_points_scene=4096, max_points=512, max_pairs=32,
+                      pairs_small=32, pairs_large=4, nn_tile=256,
+                      hist_grid_xy=64)
     # monkey-light: run with the reduced bucket config
     orig = cli.config_from_args
     cli.config_from_args = lambda a: cfg
@@ -111,8 +113,8 @@ def test_cli_pca_multiframe(tmp_path):
         "--epsilon", "0.4", "--speed", "1.67", "--max_points", "1024",
     ])
     cfg = cli.config_from_args(args).replace(
-        max_points_scene=16384, max_pairs=64, pairs_small=64,
-        pairs_large=8, nn_tile=512, hist_grid_xy=128)
+        max_points_scene=4096, max_points=512, max_pairs=32,
+        pairs_small=32, pairs_large=4, nn_tile=256, hist_grid_xy=64)
     orig = cli.config_from_args
     cli.config_from_args = lambda a: cfg
     try:
@@ -182,8 +184,8 @@ def test_cli_multihost_flag_initialises_distributed(pca_root, monkeypatch):
         "--multihost",
     ])
     cfg = cli.config_from_args(args).replace(
-        max_points_scene=16384, max_pairs=64, pairs_small=64,
-        pairs_large=8, nn_tile=512, hist_grid_xy=128)
+        max_points_scene=4096, max_points=512, max_pairs=32,
+        pairs_small=32, pairs_large=4, nn_tile=256, hist_grid_xy=64)
     orig = cli.config_from_args
     cli.config_from_args = lambda a: cfg
     try:

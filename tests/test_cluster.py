@@ -116,3 +116,72 @@ def test_invalid_points_and_top_k_filtering():
     # only the single largest cluster survives num_clusters=1
     assert set(lab[:100]) == {0}
     assert (lab[100:150] == -1).all()
+
+
+def test_dedup_matches_full_path():
+    """dbscan_dedup (weighted counts on voxel reps) reproduces the full-cloud
+    clustering on well-separated structure, and its overflow fallback is
+    bit-identical to the full path (ops/cluster.py dbscan_dedup)."""
+    from icpflow_tpu.ops.cluster import dbscan_dedup
+
+    rng = np.random.default_rng(3)
+    pts = np.concatenate([
+        blob(rng, [0, 0, 0], 200),
+        blob(rng, [5, 0, 0], 300),
+        blob(rng, [0, 6, 0], 150),
+        rng.uniform(-20, 20, size=(50, 3)),
+    ]).astype(np.float32)
+    n = 1024
+    pts_p = np.zeros((n, 3), np.float32)
+    pts_p[: len(pts)] = pts
+    valid = np.zeros(n, bool)
+    valid[: len(pts)] = True
+    kw = dict(eps=0.5, min_points=10, num_clusters=8)
+
+    full = np.asarray(dbscan(jnp.asarray(pts_p), jnp.asarray(valid), **kw))
+    dd = np.asarray(dbscan_dedup(jnp.asarray(pts_p), jnp.asarray(valid),
+                                 dedup_voxel=0.2, rep_cap=512, **kw))
+    # same partition on the real points (labels are size-ranked, so equal
+    # partitions get equal ids here)
+    m = valid
+    assert (dd[m] == full[m]).mean() > 0.98, (dd[m] != full[m]).sum()
+
+    # overflow fallback: rep_cap below the occupied-voxel count must take
+    # the full-cloud branch bit-identically
+    fb = np.asarray(dbscan_dedup(jnp.asarray(pts_p), jnp.asarray(valid),
+                                 dedup_voxel=0.2, rep_cap=16, **kw))
+    np.testing.assert_array_equal(fb, full)
+
+
+def test_dedup_weighted_counts_keep_sparse_reps_noise():
+    """A lone far point stays noise under dedup (its rep multiplicity 1
+    cannot clear min_points), while a dense blob's reps stay core even
+    though the rep COUNT within eps is below min_points (multiplicities
+    carry the raw density)."""
+    from icpflow_tpu.ops.cluster import dbscan_dedup
+
+    rng = np.random.default_rng(4)
+    # 400 points crammed into a couple of voxels: rep count ~8 << min_points
+    dense = blob(rng, [0, 0, 0], 400, scale=0.05)
+    lone = np.array([[15.0, 15.0, 1.0]])
+    pts = np.concatenate([dense, lone]).astype(np.float32)
+    n = 512
+    pts_p = np.zeros((n, 3), np.float32)
+    pts_p[: len(pts)] = pts
+    valid = np.zeros(n, bool)
+    valid[: len(pts)] = True
+    lab = np.asarray(dbscan_dedup(jnp.asarray(pts_p), jnp.asarray(valid),
+                                  dedup_voxel=0.2, rep_cap=256,
+                                  eps=0.5, min_points=50, num_clusters=4))
+    assert (lab[:400] == 0).all()          # dense blob is one cluster
+    assert lab[400] == -1                  # lone point is noise
+    assert (lab[len(pts):n] == -1).all()   # padding is noise
+
+
+def test_dedup_rejects_too_coarse_voxel():
+    from icpflow_tpu.ops.cluster import dbscan_dedup
+    import pytest as _pytest
+    pts = jnp.zeros((64, 3), jnp.float32)
+    valid = jnp.ones((64,), bool)
+    with _pytest.raises(ValueError, match="too coarse"):
+        dbscan_dedup(pts, valid, dedup_voxel=0.2, rep_cap=32, eps=0.25)

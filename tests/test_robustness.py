@@ -7,10 +7,12 @@ from icpflow_tpu import SceneFlowEngine, DEMO
 from icpflow_tpu.pipeline import run_frame_pair
 from icpflow_tpu.utils.viz import trackers_to_labels
 
+# every fixture in this file is <= 400 points; the smallest buckets cut the
+# per-run engine compile this fast-tier file pays (cache is off under pytest)
 CFG = DEMO.replace(
-    max_points_scene=4096, max_points=256, num_clusters=16, max_pairs=16,
+    max_points_scene=2048, max_points=256, num_clusters=16, max_pairs=16,
     pairs_small=16, pairs_large=4, max_points_small=128,
-    min_cluster_size=5, nn_tile=128, hist_grid_xy=64, icp_max_iters=10,
+    min_cluster_size=5, nn_tile=128, hist_grid_xy=32, icp_max_iters=10,
     epsilon=0.4, use_hdbscan=False,
 )
 
