@@ -225,7 +225,12 @@ class PipelineConfig:
     # only the taken branch, so a 28-pair frame does not pay for 256 slots
     # and an EMPTY stage-2 bucket costs nothing. Results are bit-identical
     # (row-independent kernels; pure scheduling). (1,) disables.
-    pair_ladder: tuple = (1, 4, 16)
+    # Power-of-two rungs: the round-4 profile showed the stage-1 large
+    # bucket (32 slots) solving 12 valid pairs at FULL size because the
+    # (1,4,16) ladder jumps 8 -> 32 — that one bucket was ~84 of the
+    # 96 ms matcher. Finer rungs halve it; more lax.switch branches cost
+    # compile time, not run time (only the taken branch executes).
+    pair_ladder: tuple = (1, 2, 4, 8, 16)
     nn_tile: int = 2048              # dst tile for the scan-based NN
     cluster_cell_cap: int = 64       # max points per voxel cell in DBSCAN
     cluster_max_iters: int = 100     # label-propagation iteration cap
