@@ -9,9 +9,9 @@ this engine processes frames incrementally:
   two-stage matching -> per-point flow of the new frame.
 
 Device state (previous frame buffers) stays resident on-chip between frames,
-so per-frame cost is the device pipeline (~0.25-0.6 s on one v5e chip at
-demo scale — see BENCH_r03/CLAUDE.md for the current honest number) plus one
-host transfer of the new scan.
+so per-frame cost is the device pipeline (the fused pair program — see the
+latest BENCH_r{N}.json `sec_per_pair` for the current honest number) plus
+one host transfer of the new scan.
 """
 
 from __future__ import annotations
