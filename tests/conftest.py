@@ -20,6 +20,15 @@ jax.config.update("jax_platforms", "cpu")
 # segfaulted late in the suite when the process is already holding every
 # previously jitted program; CPU compiles are fast enough that the disk
 # cache buys nothing here anyway.
+#
+# (Round-5 root cause of the "late in the suite" crashes, including the
+# round-4 rc=139 at ~96 tests: every XLA:CPU compile retains mmap'd JIT
+# code + guard regions — ~580 maps/test — until the process crosses
+# vm.max_map_count=65530 and mmap starts failing inside
+# backend_compile_and_load. jax.clear_caches() does not release them, so
+# the only in-repo fix is process sharding: pytest.ini now runs the suite
+# under pytest-xdist (-n 4 --dist loadfile), keeping each worker far below
+# the cap.)
 jax.config.update("jax_enable_compilation_cache", False)
 
 
