@@ -19,7 +19,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 _DTYPES = {0: np.float32, 1: np.float64, 2: np.int64, 3: np.int32,
-           4: np.uint8, 5: np.int8, 6: np.uint64}
+           4: np.uint8, 5: np.int8, 6: np.uint64, 7: np.bool_}
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False

@@ -77,9 +77,11 @@ int dtype_code(const std::string& descr) {
   if (descr.find("f8") != std::string::npos) return 1;
   if (descr.find("i8") != std::string::npos) return 2;
   if (descr.find("i4") != std::string::npos) return 3;
-  if (descr.find("b1") != std::string::npos ||
-      descr.find("u1") != std::string::npos)
-    return 4;
+  // b1 (numpy bool) must stay distinct from u1: Python-side masks index
+  // point arrays, and a uint8 mask silently becomes integer fancy indexing
+  // (caught by tests/test_schema_fidelity.py on the AV2 valid_idx fields)
+  if (descr.find("b1") != std::string::npos) return 7;
+  if (descr.find("u1") != std::string::npos) return 4;
   if (descr.find("i1") != std::string::npos) return 5;
   if (descr.find("u8") != std::string::npos) return 6;
   return -1;
@@ -125,7 +127,7 @@ bool parse_npy(const uint8_t* p, size_t n, Array* out) {
     }
   }
   if (cur >= 0) out->shape.push_back(cur);
-  size_t itemsize[] = {4, 8, 8, 4, 1, 1, 8};
+  size_t itemsize[] = {4, 8, 8, 4, 1, 1, 8, 1};
   size_t total = itemsize[out->dtype];
   for (auto s : out->shape) total *= s;
   if (hoff + hlen + total > n) return false;
