@@ -602,8 +602,13 @@ def main():
                 _, d = masked_nn_pallas(x, bb, msk, variant=v)
                 return _chain_fold(x, d[:, :, None]), d
 
-            nn_ms[variant] = chain_time(step, a, lambda o: jnp.sum(o[0]),
-                                        32, barrier)
+            # median of 3: single chain_time calls have shown one-off 2.8x
+            # inflation under transient tunnel load (BENCH_r04 reported the
+            # vpu variant at 6.7 ms; scripts/profile_nn.py repeats sit at
+            # 2.32-2.41 ms across runs — round-5 variance study)
+            nn_ms[variant] = float(np.median([
+                chain_time(step, a, lambda o: jnp.sum(o[0]), 32, barrier)
+                for _ in range(3)]))
         return nn_ms, perr
 
     nn_out = secs.run("nn_kernel", 120.0, nn_section)

@@ -20,10 +20,18 @@ Layout notes:
 HBM traffic drops from O(N*M) to O(N + M) per batch row, which moves the op
 off the bandwidth wall; the remaining bound is VPU ISSUE RATE (~13 vector
 ops per distance candidate — bench.py derives the roofline and reports
-measured utilization against it; 0.5-0.8 of bound across round-3 runs, the
-spread being tunnel timing variance, not kernel variance). A K=3
-contraction can never be MXU-efficient (3 of 128 systolic rows used), so
-matmul-peak "MFU" is not a meaningful metric for this kernel.
+measured utilization against it). Measured band (round-5 variance study,
+scripts/profile_nn.py, 3 repeats at the bench shape B=32 N=M=4096): "vpu"
+2.32-2.41 ms = 0.75-0.78 of bound, "mxu" 4.56-4.60 ms = 0.39 (its K=3->128
+padded contraction does 42x redundant MXU work; it stays the default only
+because the accuracy guardrails are pinned on its numerics). BENCH_r04's
+one-off vpu reading of 6.7 ms (util 0.40) was transient tunnel load, not a
+kernel regression — bench.py now takes a median of 3. At small bucket
+shapes (256x512x512) "mxu" wins outright (1.0 vs 1.25 ms): with one dst
+tile per grid cell the VPU variants pay per-cell setup, while the otherwise
+idle MXU absorbs 8 of the 13 passes. A K=3 contraction can never be
+MXU-efficient (3 of 128 systolic rows used), so matmul-peak "MFU" is not a
+meaningful metric for this kernel.
 """
 
 from __future__ import annotations
@@ -36,6 +44,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
+# "vpu2" folds the dst mask into the coordinates: invalid dst points are
+# moved to this sentinel before the kernel, so their distance (>= ~1e12) can
+# never beat a real candidate (coords are metre-scale, real d^2 <= ~1e6) and
+# the per-candidate mask select disappears from the inner loop. Src rows with
+# NO valid dst report dist ~1.7e6 (vs the masked kernels' 1e15) — both are
+# "huge" to every downstream gate.
+_SENTINEL = 1e6
 
 
 def _nn_kernel(src_ref, dst_ref, mask_ref, dist_ref, idx_ref, *, tm: int):
@@ -107,6 +122,98 @@ def _nn_kernel_vpu(src_ref, dst_ref, mask_ref, dist_ref, idx_ref, *, tm: int):
     idx_ref[0] = jnp.minimum(best_i, m - 1)
 
 
+def _nn_kernel_vpu2(src_ref, dsty_ref, dist_ref, idx_ref, *, tc: int):
+    """Chunked running-min NN sweep (the roofline-chasing variant).
+
+    The "vpu"/"mxu" kernels pay for three structural costs the VPU issue-rate
+    bound does not include: (a) per-iteration lane->sublane TRANSPOSES of the
+    dst coordinates (dst arrives as (3, M) lane vectors but the distance
+    block needs them sublane-oriented), (b) a materialised (TM, TN) distance
+    block that is re-read by ~4 extra argmin passes, and (c) a mask select
+    per candidate. This variant removes all three:
+
+      * dst arrives SUBLANE-oriented as (M, 3) — the HBM->VMEM DMA performs
+        the relayout for free;
+      * the sweep runs over tc-row chunks carrying a (tc, TN) running
+        (best_d, best_i) pair in registers — no (TM, TN) block ever exists,
+        argmin is a compare+select fused into the single pass;
+      * invalid dst points sit at ``_SENTINEL`` so masking is free.
+
+    Per-candidate vector ops: 3 sub + 3 mul/fma + 1 cmp + 2 select = 9
+    (vs ~13 for "vpu" plus its transposes). Numerics are identical to the
+    "vpu" variant: exact elementwise differences, no |x|^2-2xy cancellation.
+    """
+    x = src_ref[0]                                     # (3, TN)
+    tn = x.shape[1]
+    x0, x1, x2 = x[0:1, :], x[1:2, :], x[2:3, :]       # (1, TN) each
+    m = dsty_ref.shape[1]
+    n_chunks = m // tc
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, 1), 0)
+
+    def body(t, carry):
+        best_d, best_i = carry                         # (tc, TN) each
+        j0 = t * tc
+        y = dsty_ref[0, pl.ds(j0, tc), :]              # (tc, 3)
+        d0 = y[:, 0:1] - x0                            # (tc, TN)
+        d1 = y[:, 1:2] - x1
+        d2c = y[:, 2:3] - x2
+        d2 = d0 * d0 + d1 * d1 + d2c * d2c
+        take = d2 < best_d
+        return (jnp.where(take, d2, best_d),
+                jnp.where(take, row_iota + j0, best_i))
+
+    init = (jnp.full((tc, tn), _BIG, jnp.float32),
+            jnp.zeros((tc, tn), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    minv = jnp.min(best_d, axis=0, keepdims=True)      # (1, TN)
+    winner = jnp.min(jnp.where(best_d <= minv, best_i, m),
+                     axis=0, keepdims=True)
+    dist_ref[0] = minv
+    idx_ref[0] = jnp.minimum(winner, m - 1)
+
+
+def _nn_kernel_pts_vpu2(src_ref, dsty_ref, dist_ref, pts_ref, *, tc: int):
+    """Chunked running-min NN returning the winning COORDINATES.
+
+    Same structure as ``_nn_kernel_vpu2`` but the carry holds the winner's
+    (y0, y1, y2) instead of its index (4 selects per candidate instead of
+    2); the within-carry row winner is resolved once after the loop with a
+    one-hot reduction.
+    """
+    x = src_ref[0]                                     # (3, TN)
+    tn = x.shape[1]
+    x0, x1, x2 = x[0:1, :], x[1:2, :], x[2:3, :]
+    m = dsty_ref.shape[1]
+    n_chunks = m // tc
+
+    def body(t, carry):
+        best_d, by0, by1, by2 = carry                  # (tc, TN) each
+        j0 = t * tc
+        y = dsty_ref[0, pl.ds(j0, tc), :]              # (tc, 3)
+        y0, y1, y2 = y[:, 0:1], y[:, 1:2], y[:, 2:3]   # (tc, 1)
+        d0 = y0 - x0                                   # (tc, TN)
+        d1 = y1 - x1
+        d2c = y2 - x2
+        d2 = d0 * d0 + d1 * d1 + d2c * d2c
+        take = d2 < best_d
+        return (jnp.where(take, d2, best_d),
+                jnp.where(take, y0, by0),
+                jnp.where(take, y1, by1),
+                jnp.where(take, y2, by2))
+
+    zeros = jnp.zeros((tc, tn), jnp.float32)
+    init = (jnp.full((tc, tn), _BIG, jnp.float32), zeros, zeros, zeros)
+    best_d, by0, by1, by2 = jax.lax.fori_loop(0, n_chunks, body, init)
+    minv = jnp.min(best_d, axis=0, keepdims=True)      # (1, TN)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, tn), 0)
+    rowwin = jnp.min(jnp.where(best_d <= minv, row_iota, tc),
+                     axis=0, keepdims=True)            # (1, TN)
+    onehot = row_iota == rowwin                        # (tc, TN)
+    sel = lambda by: jnp.sum(jnp.where(onehot, by, 0.0), axis=0)
+    dist_ref[0] = minv
+    pts_ref[0] = jnp.stack([sel(by0), sel(by1), sel(by2)])
+
+
 def _nn_kernel_pts(src_ref, dst_ref, mask_ref, dist_ref, pts_ref, *,
                    tm: int, variant: str):
     """NN search that also returns the nearest point's COORDINATES.
@@ -163,24 +270,54 @@ def _nn_kernel_pts(src_ref, dst_ref, mask_ref, dist_ref, pts_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tn", "tm", "interpret", "variant"))
+                   static_argnames=("tn", "tm", "interpret", "variant", "tc"))
 def masked_nn_points_pallas(src, dst, dst_mask, *, tn: int = 1024,
                             tm: int = 1024, interpret: bool = False,
-                            variant: str = "mxu"):
+                            variant: str = "mxu", tc: int = 8):
     """Like ``masked_nn_pallas`` but returns (nn_points, dist).
 
     ``nn_points`` is (B, N, 3): the coordinates of each src point's nearest
-    valid dst point (zeros where no dst is valid — the BIG dist masks those
-    downstream).
+    valid dst point (zeros — or the far sentinel under "vpu2" — where no dst
+    is valid; the huge dist masks those downstream either way).
     """
     b, n, _ = src.shape
     m = dst.shape[1]
     src_t = _pad_axis(jnp.swapaxes(src.astype(jnp.float32), 1, 2), tn, 2, 0.0)
+    np_ = src_t.shape[2]
+    grid = (b, np_ // tn)
+
+    if variant == "vpu2":
+        dst_s = jnp.where(dst_mask[:, :, None], dst.astype(jnp.float32),
+                          _SENTINEL)
+        dst_sub = _pad_axis(dst_s, max(tc, 8), 1, _SENTINEL)  # (B, Mp, 3)
+        mp = dst_sub.shape[1]
+        dist, pts = pl.pallas_call(
+            functools.partial(_nn_kernel_pts_vpu2, tc=tc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 3, tn), lambda bb, ii: (bb, 0, ii),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mp, 3), lambda bb, ii: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tn), lambda bb, ii: (bb, 0, ii),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, tn), lambda bb, ii: (bb, 0, ii),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+                jax.ShapeDtypeStruct((b, 3, np_), jnp.float32),
+            ],
+            interpret=interpret,
+        )(src_t, dst_sub)
+        return (jnp.swapaxes(pts[:, :, :n], 1, 2),
+                jnp.sqrt(jnp.maximum(dist[:, 0, :n], 0.0)))
+
     dst_t = _pad_axis(jnp.swapaxes(dst.astype(jnp.float32), 1, 2), tm, 2, 0.0)
     mask_p = _pad_axis(dst_mask.astype(bool), tm, 1, False)[:, :, None]
-    np_, mp = src_t.shape[2], dst_t.shape[2]
-
-    grid = (b, np_ // tn)
+    mp = dst_t.shape[2]
     dist, pts = pl.pallas_call(
         functools.partial(_nn_kernel_pts, tm=tm, variant=variant),
         grid=grid,
@@ -219,26 +356,60 @@ def _pad_axis(x, multiple, axis, value):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tn", "tm", "interpret", "variant"))
+                   static_argnames=("tn", "tm", "interpret", "variant", "tc"))
 def masked_nn_pallas(src, dst, dst_mask, *, tn: int = 1024, tm: int = 1024,
-                     interpret: bool = False, variant: str = "mxu"):
+                     interpret: bool = False, variant: str = "mxu",
+                     tc: int = 8):
     """Drop-in for `knn.masked_nn` on TPU. Returns (idx, euclidean dist).
 
     ``variant``: "mxu" (default; dot_general distances — what the accuracy
-    guardrails are pinned on) or "vpu" (elementwise distances: avoids the
-    K=3->128 contraction padding, ~15% faster and numerically tighter, but
-    the sub-mm distance deltas shift batched-ICP convergence basins on
-    knife-edge cluster pairs — see `knn.masked_nn` for the tradeoff).
+    guardrails are pinned on), "vpu" (elementwise distances: avoids the
+    K=3->128 contraction padding and is numerically tighter, but the sub-mm
+    distance deltas shift batched-ICP convergence basins on knife-edge
+    cluster pairs — see `knn.masked_nn` for the tradeoff), or "vpu2"
+    (chunked running-min elementwise sweep — same numerics as "vpu", fastest;
+    see `_nn_kernel_vpu2`).
     """
     b, n, _ = src.shape
     m = dst.shape[1]
     src_t = _pad_axis(jnp.swapaxes(src.astype(jnp.float32), 1, 2), tn, 2, 0.0)
+    np_ = src_t.shape[2]
+    grid = (b, np_ // tn)
+
+    if variant == "vpu2":
+        dst_s = jnp.where(dst_mask[:, :, None], dst.astype(jnp.float32),
+                          _SENTINEL)
+        dst_sub = _pad_axis(dst_s, max(tc, 8), 1, _SENTINEL)  # (B, Mp, 3)
+        mp = dst_sub.shape[1]
+        dist, idx = pl.pallas_call(
+            functools.partial(_nn_kernel_vpu2, tc=tc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 3, tn), lambda bb, ii: (bb, 0, ii),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mp, 3), lambda bb, ii: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tn), lambda bb, ii: (bb, 0, ii),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tn), lambda bb, ii: (bb, 0, ii),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+            ],
+            interpret=interpret,
+        )(src_t, dst_sub)
+        idx = jnp.minimum(idx[:, 0, :n], m - 1)
+        return idx, jnp.sqrt(jnp.maximum(dist[:, 0, :n], 0.0))
+
     dst_t = _pad_axis(jnp.swapaxes(dst.astype(jnp.float32), 1, 2), tm, 2, 0.0)
     mask_p = _pad_axis(dst_mask.astype(bool), tm, 1, False)[:, :, None]
-    np_, mp = src_t.shape[2], dst_t.shape[2]
+    mp = dst_t.shape[2]
 
     kern = _nn_kernel_vpu if variant == "vpu" else _nn_kernel
-    grid = (b, np_ // tn)
     dist, idx = pl.pallas_call(
         functools.partial(kern, tm=tm),
         grid=grid,

@@ -105,7 +105,9 @@ dead = ca == cb
 ca[dead] = n
 cb[dead] = n
 uniq = np.unique(np.stack([ca, cb], 1)[ca < n], axis=0)
-ccap = min(max(n // 2, 49152), ecap)  # proposed fix: scene-scale floor
+# same expression as ops/cluster.py (the n_uni<=ccap cond there falls back
+# to the compacted path on overflow); keep the two in sync — ADVICE r4
+ccap = min(max(n // 2, 16384), ecap)
 cu = np.full(ccap, n, np.int32)
 cv = np.full(ccap, n, np.int32)
 cu[:len(uniq)] = uniq[:, 0]

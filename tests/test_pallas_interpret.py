@@ -34,8 +34,28 @@ def test_pallas_nn_vpu_variant_matches_xla_interpreted():
     dst = jnp.asarray(rng.uniform(-20, 20, (B, M, 3)).astype(np.float32))
     mask = jnp.asarray(rng.random((B, M)) > 0.3)
     i1, d1 = _masked_nn_xla(src, dst, mask, tile=128)
-    for variant in ("vpu", "mxu"):
+    for variant in ("vpu", "mxu", "vpu2"):
         i2, d2 = masked_nn_pallas(src, dst, mask, tn=128, tm=128,
                                   interpret=True, variant=variant)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_nn_points_vpu2_matches_gather_interpreted():
+    """The chunked running-min points kernel: winner coords == gather of the
+    winner index, and distances match the XLA reference."""
+    from icpflow_tpu.ops.pallas.nn_kernel import masked_nn_points_pallas
+    rng = np.random.default_rng(2)
+    B, N, M = 2, 256, 384
+    src = jnp.asarray(rng.uniform(-20, 20, (B, N, 3)).astype(np.float32))
+    dst = jnp.asarray(rng.uniform(-20, 20, (B, M, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, M)) > 0.3)
+    i1, d1 = _masked_nn_xla(src, dst, mask, tile=128)
+    for variant in ("mxu", "vpu2"):
+        pts, d2 = masked_nn_points_pallas(src, dst, mask, tn=128, tm=128,
+                                          interpret=True, variant=variant)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-4, atol=1e-4)
+        # the returned coordinates must be AT the reported distance
+        got = np.linalg.norm(np.asarray(src) - np.asarray(pts), axis=-1)
+        np.testing.assert_allclose(got, np.asarray(d2), rtol=1e-4, atol=1e-4)
