@@ -71,18 +71,38 @@ def masked_nn(
         import os
         from .pallas.nn_kernel import masked_nn_pallas
         rup = lambda v: -(-v // 128) * 128
-        # Default variant is "mxu" (dot_general distances): the "vpu"
-        # elementwise variant is ~15% faster on the kernel micro-bench and
-        # numerically tighter, but its sub-millimetre distance deltas push
-        # the batched ICP into different convergence basins on knife-edge
-        # cluster pairs (demo fixture: one 102-pt mover flips from matched
-        # to rejected, +0.03 dynamic EPE). The accuracy guardrails are
-        # pinned on the mxu numerics; select "vpu" explicitly to trade that.
         return masked_nn_pallas(
             src, dst, dst_mask,
             tn=min(1024, rup(n)), tm=min(1024, rup(m)),
-            variant=os.environ.get("ICPFLOW_NN_VARIANT", "mxu"))
+            variant=_pick_variant(m))
     return _masked_nn_xla(src, dst, dst_mask, tile=tile)
+
+
+def _pick_variant(m: int) -> str:
+    """Kernel-variant policy (override: ICPFLOW_NN_VARIANT=mxu|vpu|vpu2).
+
+    "auto" (default) picks by dst size from the round-5 on-chip shootout
+    (scripts/profile_nn.py, 3-repeat medians): the elementwise "vpu" kernel
+    wins ~2x at large dst (2.37 vs 4.56 ms at 32x4096x4096; 0.60 vs 1.18 at
+    32x1024x4096) because the "mxu" form pads its K=3 contraction to 128
+    (42x redundant MXU work), while at small buckets (<=1024 dst) one dst
+    tile per grid cell leaves the VPU variants paying per-cell setup that
+    the otherwise-idle MXU absorbs (mxu 1.00 vs vpu 1.25 ms at 256x512x512).
+
+    Numerics note: "vpu" computes exact elementwise differences (tighter
+    than the |x|^2-2xy+|y|^2 form at metre scale). Round 3 saw one
+    knife-edge mover flip under all-vpu (+0.03 dyn EPE); re-validated in
+    round 5 on the current pipeline the full demo guardrail set is
+    IDENTICAL under all-vpu (EPE 0.00401/dyn 0.03834/ACC3DS 0.99169,
+    matched 39) and gap-4x improves 0.0254 -> 0.0228, so the large-bucket
+    switch is safe. The small-bucket side keeps mxu — both for speed and to
+    leave the pinned small-pair basins untouched.
+    """
+    import os
+    v = os.environ.get("ICPFLOW_NN_VARIANT", "auto")
+    if v != "auto":
+        return v
+    return "vpu" if m >= 2048 else "mxu"
 
 
 def masked_nn_points(
@@ -105,13 +125,12 @@ def masked_nn_points(
     m = dst.shape[1]
     n = src.shape[1]
     if jax.default_backend() == "tpu" and 128 <= m <= 8192:
-        import os
         from .pallas.nn_kernel import masked_nn_points_pallas
         rup = lambda v: -(-v // 128) * 128
         return masked_nn_points_pallas(
             src, dst, dst_mask,
             tn=min(1024, rup(n)), tm=min(1024, rup(m)),
-            variant=os.environ.get("ICPFLOW_NN_VARIANT", "mxu"))
+            variant=_pick_variant(m))
     idx, dist = _masked_nn_xla(src, dst, dst_mask, tile=tile)
     pts = jnp.take_along_axis(dst, idx[:, :, None], axis=1)
     no_valid = ~jnp.any(dst_mask, axis=1)
