@@ -35,8 +35,15 @@ def flow_from_transforms(
     table = jnp.concatenate([transforms, eye], axis=0)        # (L+1,4,4)
     idx = jnp.where((labels >= 0) & (labels < L), labels, L)
     T_pt = table[idx]                                          # (N,4,4)
-    T_full = jnp.einsum("nij,jk->nik", T_pt, pose)
-    moved = jnp.einsum("nij,nj->ni", T_full[:, :3, :3], points) \
+    # HIGHEST precision is load-bearing: at default precision the TPU MXU
+    # truncates the metre-scale pose/point operands to bf16, and every
+    # identity-matched static point inherited a per-gap-constant flow error
+    # (~0.2% of the ego translation; heldout static EPE 0.0064-0.025 at
+    # gaps 6-9, zero on CPU — round-5 item 6 trace, scripts/trace_gap_static)
+    T_full = jnp.einsum("nij,jk->nik", T_pt, pose,
+                        precision=jax.lax.Precision.HIGHEST)
+    moved = jnp.einsum("nij,nj->ni", T_full[:, :3, :3], points,
+                       precision=jax.lax.Precision.HIGHEST) \
         + T_full[:, :3, 3]
     return moved - points
 
@@ -58,7 +65,8 @@ def flow_with_identity_override(
     point indices.
     """
     flow = flow_from_transforms(points, labels, transforms, pose)
-    ego_moved = jnp.einsum("ij,nj->ni", pose[:3, :3], points) + pose[:3, 3]
+    ego_moved = jnp.einsum("ij,nj->ni", pose[:3, :3], points,
+                           precision=jax.lax.Precision.HIGHEST) + pose[:3, 3]
     ego_flow = ego_moved - points
     n = points.shape[0]
     flat_idx = seg_pidx.reshape(-1)

@@ -26,13 +26,22 @@ def eye4(batch: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def transform_points(xyz: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
-    """Apply one 4x4 to (N,3) points. Ref: utils_helper.py:89-93."""
-    return xyz @ T[:3, :3].T + T[:3, 3]
+    """Apply one 4x4 to (N,3) points. Ref: utils_helper.py:89-93.
+
+    HIGHEST precision: on TPU a default-precision matmul truncates the
+    metre-scale operands to bf16 (~0.4% relative) — the round-5 static-flow
+    bug (docs/ROUND5_NOTES.md item 6) was exactly this on the pose path.
+    """
+    return jnp.matmul(xyz, T[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
 
 
 def transform_points_batch(xyz: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
-    """Apply (B,4,4) to (B,N,3). Ref: utils_helper.py:76-87."""
-    return jnp.einsum("bij,bnj->bni", T[:, :3, :3], xyz) + T[:, None, :3, 3]
+    """Apply (B,4,4) to (B,N,3). Ref: utils_helper.py:76-87. (HIGHEST: see
+    transform_points.)"""
+    return jnp.einsum("bij,bnj->bni", T[:, :3, :3], xyz,
+                      precision=jax.lax.Precision.HIGHEST) \
+        + T[:, None, :3, 3]
 
 
 def rt_to_mat(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -187,12 +196,14 @@ def kabsch(
     Up = jnp.stack([u1, u2, u3], axis=2)
     v3 = jnp.cross(V[:, :, 0], V[:, :, 1])
     Vp = jnp.concatenate([V[:, :, :2], v3[:, :, None]], axis=2)
-    R = jnp.einsum("bij,bkj->bik", Vp, Up)                     # V @ U^T
+    R = jnp.einsum("bij,bkj->bik", Vp, Up,                     # V @ U^T
+                   precision=jax.lax.Precision.HIGHEST)
 
     degenerate = ((total < 1.0) | ~jnp.isfinite(S).all(axis=1)
                   | (S[:, 0] <= 1e-12) | (n1[:, 0] <= 1e-6))
     R = jnp.where(degenerate[:, None, None], jnp.eye(3, dtype=src.dtype), R)
-    t = mu_d - jnp.einsum("bij,bj->bi", R, mu_s)
+    t = mu_d - jnp.einsum("bij,bj->bi", R, mu_s,
+                          precision=jax.lax.Precision.HIGHEST)
     t = jnp.where(jnp.isfinite(t), t, 0.0)
     return R, t
 
@@ -229,7 +240,8 @@ def bbox_extent_sorted(xyz: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(B,4,4) @ (B,4,4): apply ``b`` first, then ``a``."""
-    return jnp.einsum("bij,bjk->bik", a, b)
+    return jnp.einsum("bij,bjk->bik", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def invert_rigid(T: jnp.ndarray) -> jnp.ndarray:
@@ -237,5 +249,6 @@ def invert_rigid(T: jnp.ndarray) -> jnp.ndarray:
     R = T[:, :3, :3]
     t = T[:, :3, 3]
     Rt = jnp.swapaxes(R, 1, 2)
-    ti = -jnp.einsum("bij,bj->bi", Rt, t)
+    ti = -jnp.einsum("bij,bj->bi", Rt, t,
+                     precision=jax.lax.Precision.HIGHEST)
     return rt_to_mat(Rt, ti)

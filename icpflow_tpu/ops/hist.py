@@ -295,7 +295,8 @@ def estimate_init_translation(
         o1 = jnp.float32(1.0)
         R = jnp.stack([jnp.stack([c, -s, z0]), jnp.stack([s, c, z0]),
                        jnp.stack([z0, z0, o1])])
-        rot = (jnp.einsum("bnj,ij->bni", src - c_src[:, None, :], R)
+        rot = (jnp.einsum("bnj,ij->bni", src - c_src[:, None, :], R,
+                          precision=jax.lax.Precision.HIGHEST)
                + c_src[:, None, :])
         for trans in cand_t:
             rot_all.append(rot + trans[:, None, :])
@@ -322,6 +323,7 @@ def estimate_init_translation(
         jnp.stack([sy, cy, zero], -1),
         jnp.stack([zero, zero, one], -1)], -2)                    # (B,3,3)
     # x' = R (x - c) + c + t  ->  T = [R | t + c - R c]
-    t_full = t_best + c_src - jnp.einsum("bij,bj->bi", R, c_src)
+    t_full = t_best + c_src - jnp.einsum(
+        "bij,bj->bi", R, c_src, precision=jax.lax.Precision.HIGHEST)
     T = T.at[:, :3, :3].set(R)
     return T.at[:, :3, 3].set(t_full)

@@ -111,7 +111,9 @@ def icp_core(
 
     def make_body(src, src_mask, dst, dst_mask):
       def body(s: _IcpState) -> _IcpState:
-        moved = jnp.einsum("bij,bnj->bni", s.R, src) + s.t[:, None, :]
+        moved = jnp.einsum("bij,bnj->bni", s.R, src,
+                           precision=jax.lax.Precision.HIGHEST) \
+            + s.t[:, None, :]
         # points-returning NN: the matched coordinates come out of the
         # kernel directly — a take_along_axis here costs ~1 row-gather per
         # src point, more than the sweep itself at the small bucket
@@ -129,7 +131,9 @@ def icp_core(
             if coarse_iters else thres
         inlier = (dist <= thr) & src_mask
         R, t = geo.kabsch(src, nn_pts, inlier)
-        moved2 = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
+        moved2 = jnp.einsum("bij,bnj->bni", R, src,
+                            precision=jax.lax.Precision.HIGHEST) \
+            + t[:, None, :]
         sq = jnp.sum((moved2 - nn_pts) ** 2, axis=-1)
         w = inlier.astype(f32)
         rmse = jnp.sqrt(jnp.sum(sq * w, 1) / jnp.maximum(jnp.sum(w, 1), 1e-9))

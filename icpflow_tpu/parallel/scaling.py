@@ -17,9 +17,42 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+_HLO_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+              "s64": 8, "u64": 8, "pred": 1, "s8": 1, "u8": 1}
+
+
+def collective_stats(compiled_text: str):
+    """Count collective instructions and sum their OUTPUT bytes per step
+    from compiled HLO text (static per program — the ICI traffic a step
+    pays, up to in-place reuse)."""
+    import re
+    counts = {}
+    total_bytes = 0
+    # e.g. "  %ar = f32[6]{0} all-reduce(...)" or tuple-shaped outputs
+    pat = re.compile(
+        r"=\s*((?:\([^)]*\)|[a-z0-9]+\[[^\]]*\])[^ ]*)\s+(" +
+        "|".join(_COLLECTIVES) + r")\(")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    for m in pat.finditer(compiled_text):
+        shape_txt, op = m.group(1), m.group(2)
+        counts[op] = counts.get(op, 0) + 1
+        for dt, dims in shape_pat.findall(shape_txt):
+            if dt not in _HLO_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total_bytes += n * _HLO_BYTES[dt]
+    return counts, total_bytes
 
 
 def run_scaling(widths, cfg=None, batch_per_device: int = 1,
@@ -62,6 +95,8 @@ def run_scaling(widths, cfg=None, batch_per_device: int = 1,
         # chained + value-fetch timing (see bench.py TIMING METHODOLOGY):
         # the runtime defers queued executions, so each iteration folds the
         # previous output into its input and the loop closes with a fetch
+        compiled = step.lower(*src, *dst, gt, poses, tfs).compile()
+        coll_counts, coll_bytes = collective_stats(compiled.as_text())
         out = step(*src, *dst, gt, poses, tfs)
         _ = float(jnp.sum(out[2]))
         pts = src[0]
@@ -72,7 +107,9 @@ def run_scaling(widths, cfg=None, batch_per_device: int = 1,
         _ = float(jnp.sum(out[2]))
         dt = (time.time() - t0) / iters
         pps = B / dt
-        results.append({"dp": w, "pairs_per_sec": pps})
+        results.append({"dp": w, "pairs_per_sec": pps,
+                        "collectives_per_step": coll_counts,
+                        "collective_bytes_per_step": coll_bytes})
     base = results[0]["pairs_per_sec"] / results[0]["dp"]
     backend = jax.default_backend()
     for r in results:
@@ -90,6 +127,8 @@ def main():
     ap.add_argument("--virtual", type=int, default=0,
                     help="force a virtual CPU platform with N devices")
     ap.add_argument("--widths", type=int, nargs="+", default=None)
+    ap.add_argument("--json", type=str, default=None,
+                    help="also append results (one object) to this file")
     args = ap.parse_args()
     if args.virtual:
         import os
@@ -104,6 +143,20 @@ def main():
     results = run_scaling(widths)
     for r in results:
         print(json.dumps(r))
+    if args.json:
+        blob = {"results": results}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                try:
+                    prev = json.load(f)
+                except Exception:
+                    prev = {}
+            prev.setdefault("runs", []).append(blob)
+            out = prev
+        else:
+            out = {"runs": [blob]}
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/icpflow_jax_cache")
 
 import numpy as np
+import jax
+
+if os.environ.get("TRACE_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")   # before any backend use
+
 import jax.numpy as jnp
 
 from bench import make_cfg
