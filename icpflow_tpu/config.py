@@ -83,6 +83,11 @@ class PipelineConfig:
     # upstream hdbscan's cluster_selection_epsilon; excess-of-mass selection
     # otherwise sheds low-density cluster fringes). <=0 disables.
     hdbscan_reclaim: float = 0.5
+    hdbscan_knn_recall: float = 0.0  # >0: per-dst-tile approx_min_k with
+                                     # this recall target inside the exact
+                                     # kNN graph (candidate recall only;
+                                     # surviving edges keep exact
+                                     # distances). 0 = fully exact merge.
 
     # --- histogram translation init (main.py:87-92, utils_hist.py) ---
     speed: float = 1.67
@@ -93,6 +98,15 @@ class PipelineConfig:
                                   # suffices — measured identical accuracy
                                   # to 256 at 2x less FFT time)
     hist_grid_z: int = 8          # wrapped grid cells along z
+    hist_grid_xy_small: int = 0   # grid override for the SMALL pair bucket
+                                  # (0 = use hist_grid_xy). Small clusters
+                                  # (<= max_points_small pts) have small
+                                  # extent, and the centroid pre-shift
+                                  # bounds their residual by object
+                                  # geometry — a 64-cell (6.4 m) wrap
+                                  # suffices and the FFT is the small
+                                  # bucket's dominant hist cost (round-5
+                                  # decomposition: 14.7 of 42.6 ms)
     hist_topk: int = 5            # NMS peaks kept (utils_hist.py:21 topk_nms k)
     hist_nms_kernel: int = 11     # NMS max-pool kernel (utils_hist.py:24)
     # yaw hypotheses scored at the winning translation (framework extension;

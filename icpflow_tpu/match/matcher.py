@@ -55,8 +55,12 @@ class MatchResult(NamedTuple):
 
 
 def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
-             cfg: PipelineConfig):
-    """Init + ICP with the smaller cloud as source. Ref utils_match.py:138-157."""
+             cfg: PipelineConfig, lxy: int = 0):
+    """Init + ICP with the smaller cloud as source. Ref utils_match.py:138-157.
+
+    ``lxy``: optional histogram-grid override (the small pair bucket passes
+    ``hist_grid_xy_small`` — see the config comment).
+    """
     n_src = jnp.sum(src_mask, axis=1)
     n_dst = jnp.sum(dst_mask, axis=1)
     swap = (n_src > n_dst)[:, None, None]
@@ -68,7 +72,7 @@ def hist_icp(src_xyz, src_mask, dst_xyz, dst_mask, translation_frame,
 
     init = _hist.estimate_init_translation(
         a_xyz, a_mask, b_xyz, b_mask, translation_frame,
-        bin_w=cfg.hist_bin, lxy=cfg.hist_grid_xy, lz=cfg.hist_grid_z,
+        bin_w=cfg.hist_bin, lxy=lxy or cfg.hist_grid_xy, lz=cfg.hist_grid_z,
         topk=cfg.hist_topk, nms_kernel=cfg.hist_nms_kernel,
         eval_tile=cfg.nn_tile, yaws=cfg.hist_yaws,
         coarse_cap=cfg.hist_coarse_cap, refine=cfg.hist_refine,
@@ -155,7 +159,10 @@ def _solve_bucket(seg_src: SegmentBatch, seg_dst: SegmentBatch,
     d_mask = (jnp.take(seg_dst.mask, pair_dst, axis=0)[:, :n_points]
               & pair_valid[:, None])
 
-    T = hist_icp(s_xyz, s_mask, d_xyz, d_mask, translation_frame, cfg)
+    small_lxy = (cfg.hist_grid_xy_small
+                 if n_points <= cfg.max_points_small else 0)
+    T = hist_icp(s_xyz, s_mask, d_xyz, d_mask, translation_frame, cfg,
+                 lxy=small_lxy)
     id_pt = jnp.zeros_like(s_mask)
     moved = dist_f = dist_b = None
     if cfg.identity_margin > 0 or cfg.per_point_identity:

@@ -776,7 +776,7 @@ def voxel_dedup_compact(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "src_tile", "dst_tile"),
+    static_argnames=("k", "src_tile", "dst_tile", "knn_recall"),
 )
 def exact_knn_mutual_reachability(
     xyz: jnp.ndarray,
@@ -786,6 +786,7 @@ def exact_knn_mutual_reachability(
     k: int = 20,
     src_tile: int = 1024,
     dst_tile: int = 2048,
+    knn_recall: float = 0.0,
 ):
     """Exact k-nearest-neighbor mutual-reachability graph (brute force).
 
@@ -847,10 +848,25 @@ def exact_knn_mutual_reachability(
             jidx = j0 + jnp.arange(dst_tile)
             is_self = jidx[None, :] == rows_c[:, None]
             d2 = jnp.where(qv[None, :] & ~is_self, d2, big)
-            cat_d = jnp.concatenate([best_d, d2], axis=1)
-            cat_i = jnp.concatenate(
-                [best_i, jnp.broadcast_to(jidx[None, :],
-                                          (src_tile, dst_tile))], axis=1)
+            if knn_recall > 0:
+                # per-tile TPU-optimised approx top-k, then an EXACT merge
+                # over the 2k survivors. The incremental exact merge
+                # (top_k over best(k)++tile(2048) per tile) was the graph's
+                # dominant cost (round-5 split: 752 ms of the 1.2 s
+                # hdbscan call); the approximation affects only per-tile
+                # CANDIDATE recall (>= knn_recall, value-based, hence
+                # translation-invariant) and every surviving edge keeps
+                # its exact distance.
+                tile_d, tile_a = jax.lax.approx_min_k(
+                    d2, k, recall_target=knn_recall)
+                tile_i = j0 + tile_a.astype(jnp.int32)
+                cat_d = jnp.concatenate([best_d, tile_d], axis=1)
+                cat_i = jnp.concatenate([best_i, tile_i], axis=1)
+            else:
+                cat_d = jnp.concatenate([best_d, d2], axis=1)
+                cat_i = jnp.concatenate(
+                    [best_i, jnp.broadcast_to(jidx[None, :],
+                                              (src_tile, dst_tile))], axis=1)
             neg, sel = jax.lax.top_k(-cat_d, k)
             return ((-neg, jnp.take_along_axis(cat_i, sel, axis=1)),
                     None)

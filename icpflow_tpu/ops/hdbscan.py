@@ -28,6 +28,7 @@ import ctypes
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import PipelineConfig
@@ -133,30 +134,36 @@ def hdbscan(xyz, valid, cfg: PipelineConfig) -> np.ndarray:
     k_core = min(cfg.min_cluster_size, 30)
     xyz = jnp.asarray(xyz)
     valid = jnp.asarray(valid)
-    valid_h = np.asarray(valid)
 
     if cfg.hdbscan_exact and cfg.hdbscan_dedup_voxel > 0:
         rep_xyz, rep_valid, rep_mult, point_rep, n_unique = (
             _cluster.voxel_dedup_compact(
                 xyz, valid, voxel=cfg.hdbscan_dedup_voxel,
                 cap=cfg.hdbscan_rep_cap))
-        if int(n_unique) <= cfg.hdbscan_rep_cap:
-            core, edge_dst, edge_w = _cluster.exact_knn_mutual_reachability(
-                rep_xyz, rep_valid, rep_mult, k=k_core)
-            ed = np.asarray(edge_dst)
-            ew = np.asarray(edge_w)
-            mult_h = np.asarray(rep_mult)
+        # dispatch the rep graph WITHOUT waiting for n_unique: the overflow
+        # branch is rare (counted below), and syncing on the scalar first
+        # costs a full tunnel round-trip before the graph can start. All
+        # host values then come back in ONE batched device_get instead of
+        # four serialized fetches (round-5 split: host fetches were ~0.7 s
+        # of the 1.2 s call).
+        core, edge_dst, edge_w = _cluster.exact_knn_mutual_reachability(
+            rep_xyz, rep_valid, rep_mult, k=k_core,
+            knn_recall=cfg.hdbscan_knn_recall)
+        (ed, ew, mult_h, point_rep_h, n_unique_h, rep_valid_h,
+         valid_h) = jax.device_get(
+            (edge_dst, edge_w, rep_mult, point_rep, n_unique, rep_valid,
+             valid))
+        if int(n_unique_h) <= cfg.hdbscan_rep_cap:
             rep_labels = _native_labels(ed, ew, cfg.min_cluster_size,
                                         node_w=mult_h)
             if rep_labels is not None:
                 rep_labels = _finish_labels(
-                    rep_labels, np.asarray(rep_valid), ed, ew, cfg,
+                    rep_labels, rep_valid_h, ed, ew, cfg,
                     sizes_w=mult_h.astype(np.int64))
                 # broadcast representative labels back to every point
                 lab_pad = np.concatenate(
                     [rep_labels, np.full((1,), -1, np.int32)])
-                out = lab_pad[np.minimum(np.asarray(point_rep),
-                                         cfg.hdbscan_rep_cap)]
+                out = lab_pad[np.minimum(point_rep_h, cfg.hdbscan_rep_cap)]
                 out[~valid_h] = -1
                 return out.astype(np.int32)
         else:
@@ -164,7 +171,7 @@ def hdbscan(xyz, valid, cfg: PipelineConfig) -> np.ndarray:
 
     if cfg.hdbscan_exact:
         core, edge_dst, edge_w = _cluster.exact_knn_mutual_reachability(
-            xyz, valid, k=k_core)
+            xyz, valid, k=k_core, knn_recall=cfg.hdbscan_knn_recall)
     else:
         core, edge_dst, edge_w = _cluster.mutual_reachability_edges(
             xyz, valid,
@@ -172,8 +179,7 @@ def hdbscan(xyz, valid, cfg: PipelineConfig) -> np.ndarray:
             edges_per_point=cfg.hdbscan_edges,
             cell_sizes=cfg.hdbscan_cells,
             cell_cap=cfg.hdbscan_cell_cap)
-    ed = np.asarray(edge_dst)
-    ew = np.asarray(edge_w)
+    ed, ew, valid_h = jax.device_get((edge_dst, edge_w, valid))
     labels = _native_labels(ed, ew, cfg.min_cluster_size)
     if labels is None:   # native lib unavailable: adaptive DBSCAN fallback
         lab = _cluster.dbscan(

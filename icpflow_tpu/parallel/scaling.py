@@ -131,7 +131,6 @@ def main():
                     help="also append results (one object) to this file")
     args = ap.parse_args()
     if args.virtual:
-        import os
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                    f" --xla_force_host_platform_device_count="
                                    f"{args.virtual}").strip()

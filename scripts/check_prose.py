@@ -23,7 +23,15 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def latest_bench() -> tuple[str, dict]:
-    """Highest round number wins; `_review` beats the plain file for a round."""
+    """BENCH_LOCAL.json (freshest full builder run, written by bench.py)
+    wins when present; otherwise the highest driver round number, with
+    `_review` beating the plain file for a round."""
+    local = ROOT / "BENCH_LOCAL.json"
+    if local.exists():
+        data = json.loads(local.read_text())
+        parsed = data.get("parsed", data)
+        if isinstance(parsed, dict) and "value" in parsed:
+            return local.name, parsed
     best: tuple[int, int, Path] | None = None
     for p in ROOT.glob("BENCH_r*.json"):
         m = re.match(r"BENCH_r(\d+)(_review)?\.json$", p.name)
