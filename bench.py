@@ -194,8 +194,10 @@ def make_cfg():
         hist_grid_xy_small=64,
         # hdbscan kNN graph: per-tile approx_min_k candidates at 0.95
         # recall, exact distances + exact 2k merge (round-5 split: the
-        # incremental exact top_k merge was 752 ms of the 1.2 s call)
+        # incremental exact top_k merge was 752 ms of the 1.2 s call);
+        # compressed edge fetch (the 5.4 MB fetch cost 0.32 s of tunnel)
         hdbscan_knn_recall=0.95,
+        hdbscan_fetch_f16=True,
     )
 
 

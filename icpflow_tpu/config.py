@@ -88,6 +88,12 @@ class PipelineConfig:
                                      # kNN graph (candidate recall only;
                                      # surviving edges keep exact
                                      # distances). 0 = fully exact merge.
+    hdbscan_fetch_f16: bool = False  # compress the dedup-path edge fetch
+                                     # through the tunnel: u16 indices +
+                                     # f16 weights (~2.6 vs 5.4 MB; weight
+                                     # quantisation ~5e-4 relative only
+                                     # reorders MST near-ties). Requires
+                                     # hdbscan_rep_cap <= 65534.
 
     # --- histogram translation init (main.py:87-92, utils_hist.py) ---
     speed: float = 1.67

@@ -353,7 +353,15 @@ def dbscan(
     # point-edge path when a denser scene overflows it — correctness never
     # depends on the cap. (Relax rounds move the whole STATIC buffer, dead
     # slots included — a 4n buffer was measured 8x slower per round.)
-    ccap = min(max(n // 2, 16384), ecap)
+    #
+    # The floor is SCENE-scale, not point-scale: unique cell edges track
+    # cell geometry, so a voxel-dedup REPRESENTATIVE cloud has ~as many as
+    # its raw cloud (measured 34.9k at the 32768-rep demo bucket vs 31k
+    # raw) — a n//2 floor of 16384 silently pushed the whole dedup path
+    # onto the compact fallback whose relax rounds move 4n-slot buffers
+    # (round-5 diagnosis; the round-4 profiler had proposed this floor and
+    # it never landed — ADVICE r4).
+    ccap = min(max(n // 2, 49152), ecap)
     (csel,) = jnp.nonzero(first, size=ccap, fill_value=ecap)
     csel_c = jnp.minimum(csel, ecap - 1)
     c_real = csel < ecap

@@ -149,10 +149,23 @@ def hdbscan(xyz, valid, cfg: PipelineConfig) -> np.ndarray:
         core, edge_dst, edge_w = _cluster.exact_knn_mutual_reachability(
             rep_xyz, rep_valid, rep_mult, k=k_core,
             knn_recall=cfg.hdbscan_knn_recall)
+        n_rep = int(edge_dst.shape[0])
+        compress = cfg.hdbscan_fetch_f16 and n_rep <= 65534
+        if compress:
+            # tunnel-bandwidth compression (see config.hdbscan_fetch_f16):
+            # the no-edge sentinel (dst == n_rep, weight 1e9) is restored
+            # host-side from the index, so the weight clamp is lossless
+            # for real edges (scene distances << 6e4)
+            edge_dst = jnp.minimum(edge_dst, 65535).astype(jnp.uint16)
+            edge_w = jnp.minimum(edge_w, 6.0e4).astype(jnp.float16)
         (ed, ew, mult_h, point_rep_h, n_unique_h, rep_valid_h,
          valid_h) = jax.device_get(
             (edge_dst, edge_w, rep_mult, point_rep, n_unique, rep_valid,
              valid))
+        if compress:
+            ed = ed.astype(np.int32)
+            ew = ew.astype(np.float32)
+            ew[ed >= n_rep] = 1e9
         if int(n_unique_h) <= cfg.hdbscan_rep_cap:
             rep_labels = _native_labels(ed, ew, cfg.min_cluster_size,
                                         node_w=mult_h)

@@ -78,8 +78,20 @@ def extract_segments(
     sel = jnp.where(cnt > P, (p_iota[None, :] * cnt) // P, p_iota[None, :])
     mask = p_iota[None, :] < jnp.minimum(cnt, P)
     gidx = jnp.clip(starts[:, None] + sel, 0, n - 1)
-    pidx = order[gidx]                                 # (L,P) point indices
-    xyz = points[pidx] * mask[:, :, None]
+    # one (L,P)-row gather instead of two: TPU gather cost is per ROW, so
+    # pidx = order[gidx] followed by points[pidx] paid the 819k-row cost
+    # twice (measured: the gathers are ~8 of the 8.6 ms extract). Pack the
+    # sorted points with their BITCAST original index as a 4th channel and
+    # gather the 16-byte record once; no arithmetic ever touches the index
+    # channel, so the denormal floats the bitcast produces are inert.
+    points_s = points[order]                           # (N,3) N-row gather
+    order_f = jax.lax.bitcast_convert_type(order.astype(jnp.int32),
+                                           jnp.float32)
+    packed = jnp.concatenate(
+        [points_s.astype(jnp.float32), order_f[:, None]], axis=1)   # (N,4)
+    g = packed[gidx]                                   # (L,P,4)
+    pidx = jax.lax.bitcast_convert_type(g[..., 3], jnp.int32)
+    xyz = g[..., :3].astype(points.dtype) * mask[:, :, None]
 
     wm = mask.astype(points.dtype)
     mean = jnp.sum(xyz * wm[:, :, None], 1) / jnp.maximum(

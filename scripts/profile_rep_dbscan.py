@@ -106,8 +106,9 @@ ca[dead] = n
 cb[dead] = n
 uniq = np.unique(np.stack([ca, cb], 1)[ca < n], axis=0)
 # same expression as ops/cluster.py (the n_uni<=ccap cond there falls back
-# to the compacted path on overflow); keep the two in sync — ADVICE r4
-ccap = min(max(n // 2, 16384), ecap)
+# to the compacted path on overflow); keep the two in sync — ADVICE r4.
+# Round 5 landed the scene-scale floor in cluster.py proper.
+ccap = min(max(n // 2, 49152), ecap)
 cu = np.full(ccap, n, np.int32)
 cv = np.full(ccap, n, np.int32)
 cu[:len(uniq)] = uniq[:, 0]
