@@ -24,6 +24,35 @@ def test_flow_assembly_semantics():
     np.testing.assert_allclose(flow[3], [0, 0, 0.5], atol=1e-6)
 
 
+def test_flow_assembly_precision_metre_scale():
+    """Flow assembly must be float64-exact to ~f32 rounding at metre-scale
+    poses: the round-5 TPU regression (docs/ROUND5_NOTES.md item 6) was a
+    default-precision `T_cluster @ pose` einsum truncating metre-scale
+    translations to bf16 — every identity-matched static point carried a
+    per-gap-constant flow error up to 2.5 cm. The einsums are pinned at
+    HIGHEST precision; this test pins the contract on every backend (on
+    CPU it guards against the precision kwarg being dropped; the bench
+    guardrails catch the TPU-only regression end-to-end)."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-60, 60, (512, 3)).astype(np.float32)
+    labels = np.zeros(512, np.int32)
+    yaw = 0.3
+    c, s = np.cos(yaw), np.sin(yaw)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    pose[:3, 3] = [7.5, -3.25, 0.125]       # metre-scale ego translation
+    T = np.eye(4, dtype=np.float32)[None]   # identity match: flow == ego
+    flow = np.asarray(flow_from_transforms(
+        jnp.asarray(pts), jnp.asarray(labels), jnp.asarray(T),
+        jnp.asarray(pose)))
+    exact = (pts.astype(np.float64) @ pose[:3, :3].astype(np.float64).T
+             + pose[:3, 3].astype(np.float64)) - pts
+    err = np.linalg.norm(flow - exact, axis=1)
+    # f32 rounding at |x|~60 m is ~4e-6; one-pass bf16 would be ~0.2 (5 cm
+    # on the translation alone) — orders of magnitude apart
+    assert err.max() < 1e-4, err.max()
+
+
 def test_compute_epe_definitions():
     gt = np.array([[1, 0, 0], [0, 0.0, 0], [0, 2, 0]], np.float32)
     pred = np.array([[1, 0, 0], [0.2, 0, 0], [0, 1, 0]], np.float32)
