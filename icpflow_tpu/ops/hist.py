@@ -64,7 +64,7 @@ _SCORE_CAP = 1024  # query-side subsample cap for hypothesis scoring
 
 
 def _score_hypotheses(moved_k, src_mask, dst, dst_mask, eval_tile,
-                      cap=_SCORE_CAP):
+                      cap=_SCORE_CAP, symmetric=True):
     """Symmetric masked mean NN error of K transform hypotheses, batched.
 
     ``moved_k``: (K, B, N, 3) moved source clouds. All K hypotheses are
@@ -78,6 +78,11 @@ def _score_hypotheses(moved_k, src_mask, dst, dst_mask, eval_tile,
     strided subset of query points (cap ``cap``) ranks them the same
     while cutting the sweep cost linearly in N. The NN *target* side stays
     complete — dropping targets would bias errors upward unevenly.
+
+    ``symmetric=False`` skips the dst->src sweep (half the cost): used by
+    the COARSE ranking phase only — every surviving hypothesis is re-scored
+    symmetrically in the fine phase, so the final decision and ``best_err``
+    keep the reference's symmetric semantics.
     """
     k, b, n_, _ = moved_k.shape
     m = dst.shape[1]
@@ -89,13 +94,15 @@ def _score_hypotheses(moved_k, src_mask, dst, dst_mask, eval_tile,
     dmask = jnp.broadcast_to(dst_mask[None], (k, b, m)).reshape(k * b, m)
     e_f = _knn.masked_nn_error(mk[:, ::sn], smask[:, ::sn], dstk, dmask,
                                tile=eval_tile)
+    if not symmetric:
+        return e_f.reshape(k, b)
     e_b = _knn.masked_nn_error(dstk[:, ::sm], dmask[:, ::sm], mk, smask,
                                tile=eval_tile)
     return jnp.minimum(e_f, e_b).reshape(k, b)
 
 
 def _select_hypothesis(moved_k, src_mask, dst, dst_mask, eval_tile,
-                       coarse_cap=0, refine=2):
+                       coarse_cap=0, refine=2, regen=None):
     """Best of K hypotheses per pair: (best_idx (B,), best_err (B,)).
 
     With ``coarse_cap`` > 0, selection runs in two phases: every hypothesis
@@ -107,16 +114,27 @@ def _select_hypothesis(moved_k, src_mask, dst, dst_mask, eval_tile,
     phase re-decides only the near-ties where subsample noise could matter.
     ``best_err`` is always a fine-phase (full-budget) value, so margin rules
     downstream (yaw's 5%) compare like with like.
+
+    ``regen``: optional ``sel (R,B) -> (R,B,N,3)`` rebuilding the selected
+    hypothesis clouds from their PARAMETERS. Without it the fine phase
+    gathers rows of ``moved_k`` with take_along_axis — ~R*B*N row-gathers
+    (~5 ms at the large demo bucket), more than the fine sweeps themselves;
+    hypotheses here are rigid motions of one source cloud, so recomputing
+    is a handful of broadcast FLOPs per point.
     """
     k = moved_k.shape[0]
     if coarse_cap <= 0 or k <= refine:
         errs = _score_hypotheses(moved_k, src_mask, dst, dst_mask, eval_tile)
         return jnp.argmin(errs, axis=0), jnp.min(errs, axis=0)
     coarse = _score_hypotheses(moved_k, src_mask, dst, dst_mask, eval_tile,
-                               cap=coarse_cap)                     # (K,B)
+                               cap=coarse_cap, symmetric=False)    # (K,B)
     _, top = jax.lax.top_k(-coarse.T, refine)                      # (B,R)
     sel = top.T.astype(jnp.int32)                                  # (R,B)
-    moved_sel = jnp.take_along_axis(moved_k, sel[:, :, None, None], axis=0)
+    if regen is not None:
+        moved_sel = regen(sel)
+    else:
+        moved_sel = jnp.take_along_axis(moved_k, sel[:, :, None, None],
+                                        axis=0)
     fine = _score_hypotheses(moved_sel, src_mask, dst, dst_mask, eval_tile)
     j = jnp.argmin(fine, axis=0)                                   # (B,)
     best_idx = jnp.take_along_axis(sel, j[None, :], axis=0)[0]
@@ -245,10 +263,16 @@ def estimate_init_translation(
     k = t_all.shape[1]
 
     # score candidates: symmetric masked mean NN error (utils_hist.py:86-105)
-    moved_all = src[None] + jnp.swapaxes(t_all, 0, 1)[:, :, None, :]
+    t_all_kb = jnp.swapaxes(t_all, 0, 1)                      # (K,B,3)
+    moved_all = src[None] + t_all_kb[:, :, None, :]
+
+    def regen_trans(sel):                                      # (R,B)
+        t_sel = jnp.take_along_axis(t_all_kb, sel[:, :, None], axis=0)
+        return src[None] + t_sel[:, :, None, :]
     best, err0 = _select_hypothesis(moved_all, src_mask, dst, dst_mask,
                                     eval_tile, coarse_cap=coarse_cap,
-                                    refine=refine)                 # (B,) x2
+                                    refine=refine,
+                                    regen=regen_trans)             # (B,) x2
     t_best = jnp.take_along_axis(t_all, best[:, None, None], axis=1)[:, 0]
 
     T = jnp.broadcast_to(jnp.eye(4, dtype=f32), (b, 4, 4))
@@ -285,32 +309,43 @@ def estimate_init_translation(
     else:
         yscale = jnp.float32(1.0)
     cand_t = (t_best, dc_exact)
-    # all (yaw, translation) hypotheses scored in one batched NN sweep per
-    # direction (see _score_hypotheses)
-    rot_all = []
-    for psi0 in nonzero_yaws:
-        psi_t = jnp.float32(psi0) * yscale
-        c, s = jnp.cos(psi_t), jnp.sin(psi_t)
-        z0 = jnp.float32(0.0)
-        o1 = jnp.float32(1.0)
-        R = jnp.stack([jnp.stack([c, -s, z0]), jnp.stack([s, c, z0]),
-                       jnp.stack([z0, z0, o1])])
-        rot = (jnp.einsum("bnj,ij->bni", src - c_src[:, None, :], R,
-                          precision=jax.lax.Precision.HIGHEST)
-               + c_src[:, None, :])
-        for trans in cand_t:
-            rot_all.append(rot + trans[:, None, :])
-    rot_all = jnp.stack(rot_all)                              # (Y*2,B,N,3)
-    flat_best, err_y = _select_hypothesis(
-        rot_all, src_mask, dst, dst_mask, eval_tile,
-        coarse_cap=coarse_cap, refine=refine)                 # (B,) x2
     yaw_tbl = jnp.asarray(_np.repeat(
         _np.array(nonzero_yaws, _np.float32), len(cand_t))) * yscale
-    psi = jnp.take(yaw_tbl, flat_best)
     t_stack = jnp.stack(cand_t, axis=0)                           # (2,B,3)
+    t_tiled = jnp.tile(t_stack, (len(nonzero_yaws), 1, 1))    # (Y*2,B,3)
+    centered = src - c_src[:, None, :]
+
+    def yaw_clouds(psi, t_sel):
+        """Rotate ``centered`` by per-(hyp,pair) yaw and add translation.
+        psi: (H,) or (H,B); t_sel: (H,B,3). Elementwise form (no einsum):
+        exact at f32 and broadcast-cheap for any hypothesis subset."""
+        if psi.ndim == 1:
+            psi = psi[:, None]
+        c = jnp.cos(psi)[:, :, None]                          # (H,B,1)
+        s = jnp.sin(psi)[:, :, None]
+        x, y, z = (centered[None, ..., 0], centered[None, ..., 1],
+                   centered[None, ..., 2])
+        rot = jnp.stack([c * x - s * y, s * x + c * y,
+                         jnp.broadcast_to(z, jnp.broadcast_shapes(
+                             z.shape, c.shape))], axis=-1)
+        return rot + c_src[None, :, None, :] + t_sel[:, :, None, :]
+
+    # all (yaw, translation) hypotheses scored in one batched NN sweep per
+    # direction (see _score_hypotheses); the fine phase REBUILDS the
+    # selected clouds from (psi, t) instead of gathering rows of rot_all
+    rot_all = yaw_clouds(yaw_tbl, t_tiled)                    # (Y*2,B,N,3)
+
+    def regen_yaw(sel):                                        # (R,B)
+        psi_s = jnp.take(yaw_tbl, sel)                         # (R,B)
+        t_sel = jnp.take_along_axis(t_tiled, sel[:, :, None], axis=0)
+        return yaw_clouds(psi_s, t_sel)
+    flat_best, err_y = _select_hypothesis(
+        rot_all, src_mask, dst, dst_mask, eval_tile,
+        coarse_cap=coarse_cap, refine=refine,
+        regen=regen_yaw)                                      # (B,) x2
+    psi = jnp.take(yaw_tbl, flat_best)
     t_yaw = jnp.take_along_axis(
-        jnp.tile(t_stack, (len(nonzero_yaws), 1, 1)),
-        flat_best[None, :, None], axis=0)[0]                      # (B,3)
+        t_tiled, flat_best[None, :, None], axis=0)[0]             # (B,3)
     use_yaw = err_y < 0.95 * err0                                 # 5% margin
     psi = jnp.where(use_yaw, psi, 0.0)
     t_best = jnp.where(use_yaw[:, None], t_yaw, t_best)

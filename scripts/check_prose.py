@@ -72,6 +72,12 @@ CHECKS = [
     ("docs/ARCHITECTURE.md", r"matcher ([\d.]+) ms", "stage_match_ms", 0.06),
     ("docs/ARCHITECTURE.md", r"extract ([\d.]+) ms", "stage_extract_ms", 0.06),
     ("docs/ARCHITECTURE.md", r"dynamic EPE ([\d.]+) —\n", "epe3d_dynamic_gap4x", 0.05),
+    ("README.md", r"EPE3D overall \| 0.0114 \| \*\*([\d.]+)\*\*", "epe3d", 0.03),
+    ("README.md", r"EPE3D dynamic \| 0.1248 \| \*\*([\d.]+)\*\*", "epe3d_dynamic", 0.05),
+    ("README.md", r"\| \*\*([\d.]+)\*\* \(constant cost\)", "epe3d_dynamic_gap4x", 0.05),
+    ("README.md", r"\(([\d.]+) pairs/s\) on one v5e chip", "value", 0.06),
+    ("README.md", r"([\d.]+) s / frame pair", "sec_per_pair", 0.06),
+    ("README.md", r"([\d.]+) s/pair \(EPE", "hdbscan_sec_per_pair", 0.06),
 ]
 
 
